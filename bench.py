@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Benchmark: point-cloud -> wireframe inference throughput on one chip.
+
+Measures the BASELINE.json north-star metric — clouds/sec/chip at
+2k-10k pts/cloud — on the flagship model (64 vertex slots, 8-feature
+clouds).  The reference publishes no throughput numbers (its pipeline is
+per-sample Python on CPU/GPU); the baseline denominator is the driver's
+target of >= 5,000 clouds/sec on a v5e-8, i.e. 625 clouds/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: BENCH_BATCH (default 64), BENCH_POINTS (default 2560),
+BENCH_DTYPE (float32|bfloat16, default bfloat16), BENCH_ITERS,
+BENCH_TRAIN=1 to benchmark the train step instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from wireframe_tpu.config import Config
+    from wireframe_tpu.train.state import create_train_state
+    from wireframe_tpu.train.step import make_forward_fn, make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    points = int(os.environ.get("BENCH_POINTS", "2560"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    warmup = 5
+    bench_train = os.environ.get("BENCH_TRAIN", "0") == "1"
+
+    cfg = Config()
+    cfg.data.num_points = points
+    cfg.model.compute_dtype = dtype
+    cfg.train.device_augment = False
+    cfg.__post_init__()
+
+    dev = jax.devices()[0]
+    state = create_train_state(cfg, jax.random.PRNGKey(0),
+                               (batch, points, cfg.model.input_dim))
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(batch, points, cfg.model.input_dim))
+                    .astype(np.float32))
+
+    if bench_train:
+        from wireframe_tpu.ops.pairs import num_pairs
+        v, e = cfg.model.max_vertices, num_pairs(cfg.model.max_vertices)
+        counts = r.integers(4, v + 1, size=batch).astype(np.int32)
+        tb = {
+            "point_clouds": x,
+            "target_vertices": jnp.asarray(
+                (r.normal(size=(batch, v, 3))
+                 * (np.arange(v)[None, :, None] < counts[:, None, None]))
+                .astype(np.float32)),
+            "vertex_existence": jnp.asarray(
+                (np.arange(v)[None, :] < counts[:, None]).astype(np.float32)),
+            "vertex_counts": jnp.asarray(counts),
+            "edge_labels": jnp.asarray(
+                (r.random((batch, e)) < 0.1).astype(np.float32)),
+        }
+        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        rng = jax.random.PRNGKey(1)
+        # The state threads through every step, so one final host readback
+        # of the loss is a true completion barrier for the whole chain.
+        for _ in range(warmup):
+            rng, k = jax.random.split(rng)
+            state, m = step(state, tb, k)
+        float(m["total_loss"])
+        _log("train warmup done; timing")
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            rng, k = jax.random.split(rng)
+            state, m = step(state, tb, k)
+        float(m["total_loss"])
+        dt = time.perf_counter() - t0
+        metric, unit = "train_clouds_per_sec_per_chip", "clouds/sec/chip"
+    else:
+        fwd = jax.jit(make_forward_fn(cfg, train=False))
+        # Distinct pre-staged inputs per iteration: identical repeated
+        # dispatches can be content-deduplicated by remote-execution
+        # platforms, which would fake sub-physical latencies.
+        xs = [
+            jax.device_put(jnp.asarray(
+                r.normal(size=(batch, points, cfg.model.input_dim))
+                .astype(np.float32)))
+            for _ in range(min(iters, 8))
+        ]
+        # Completion barrier: accumulate a scalar on device across all
+        # iterations and read it back ONCE.  On tunneled platforms (axon)
+        # block_until_ready does not wait for remote completion — a host
+        # readback of a value data-dependent on every dispatch does.
+        def chained(n_iters):
+            s = jnp.zeros((), jnp.float32)
+            for i in range(n_iters):
+                o = fwd(state.params, xs[i % len(xs)], None)
+                s = s + o["vertices"].mean() + o["edge_probs"].mean()
+            return float(s)  # forces full chain completion
+
+        _log("compile+warmup start")
+        chained(warmup)
+        _log("warmup done; timing")
+        t0 = time.perf_counter()
+        chained(iters)
+        dt = time.perf_counter() - t0
+        _log(f"timed {iters} iters in {dt:.3f}s")
+        metric, unit = "clouds_per_sec_per_chip", "clouds/sec/chip"
+
+    clouds_per_sec = batch * iters / dt
+    # North star: 5,000 clouds/sec on v5e-8 => 625 clouds/sec/chip.
+    baseline_per_chip = 625.0
+    result = {
+        "metric": metric,
+        "value": round(clouds_per_sec, 2),
+        "unit": unit,
+        "vs_baseline": round(clouds_per_sec / baseline_per_chip, 3),
+        "batch": batch,
+        "points": points,
+        "dtype": dtype,
+        "device": str(dev),
+        "p50_latency_ms": round(dt / iters * 1000, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Evaluation entry point (reference: evaluate.py).
+
+Loads the latest checkpoint, runs batched inference on the test split,
+and prints the Building3D metrics (ACO, corner P/R/F1, edge P/R/F1, WED)
+with the same names/threshold defaults (distance 1.0, edge confidence 0.5).
+
+Usage:
+  python evaluate.py [--checkpoint-dir checkpoints] [--data-root PATH]
+                     [--set key=val ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--split", default="test", choices=("train", "test"))
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="KEY=VALUE")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from main import resolve_data_root
+    from wireframe_tpu.config import load_config
+    from wireframe_tpu.data import Building3DDataset
+    from wireframe_tpu.eval import evaluate_model
+    from wireframe_tpu.train.checkpoint import load_checkpoint
+
+    cfg = load_config(args.config, args.overrides)
+    cfg.data.root_dir = resolve_data_root(args.data_root)
+
+    payload, meta = load_checkpoint(args.checkpoint_dir, args.step)
+    # Honor checkpoint metadata over local config (single source of truth
+    # for max_vertices — fixes reference quirk 10).
+    if meta.get("max_vertices"):
+        cfg.data.max_vertices = int(meta["max_vertices"])
+        cfg.__post_init__()
+
+    dataset = Building3DDataset(cfg.data, args.split)
+    print(f"Evaluating {len(dataset)} samples from '{args.split}'")
+    evaluate_model(cfg, payload["params"], dataset)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

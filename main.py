@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Training entry point (reference: main.py).
+
+Default behavior reproduces the reference regime: batch_size=3, 1000
+epochs overfitting the first shuffled batch, Adam 1e-3, loss weights
+3.0/1.0/1.5 — then saves a checkpoint.  `--set train.overfit_one_batch=false`
+turns on the full-corpus epoch loop.
+
+Usage:
+  python main.py [--config cfg.yaml] [--data-root PATH] [--set key=val ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+logging.basicConfig(level=logging.INFO)
+# orbax/absl INFO floods the console during checkpoint saves.
+logging.getLogger("absl").setLevel(logging.WARNING)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None, help="yaml config path")
+    p.add_argument("--data-root", default=None,
+                   help="Building3D corpus root (train/ + test/ subdirs)")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="KEY=VALUE", help="config override, repeatable")
+    p.add_argument("--wandb", action="store_true",
+                   help="log to wandb when available")
+    return p.parse_args(argv)
+
+
+def resolve_data_root(cli_root):
+    if cli_root:
+        if not os.path.isdir(os.path.join(cli_root, "train", "xyz")):
+            raise SystemExit(
+                f"--data-root {cli_root!r} has no train/xyz/ directory "
+                "(expected Building3D layout: <root>/{train,test}/"
+                "{xyz,wireframe})")
+        return cli_root
+    for cand in ("./datasets", "/root/reference/datasets"):
+        if os.path.isdir(os.path.join(cand, "train", "xyz")):
+            return cand
+    raise SystemExit("No Building3D corpus found; pass --data-root")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from wireframe_tpu.config import load_config
+    from wireframe_tpu.data import Building3DDataset, BatchLoader
+    from wireframe_tpu.train import train_model
+    from wireframe_tpu.train.checkpoint import save_checkpoint
+    from wireframe_tpu.train.metrics_logging import MetricWriter, maybe_wandb
+
+    cfg = load_config(args.config, args.overrides)
+    cfg.data.root_dir = resolve_data_root(args.data_root)
+    cfg.train.checkpoint_dir = args.checkpoint_dir
+
+    train_ds = Building3DDataset(cfg.data, "train")
+    print(f"Training samples: {len(train_ds)}")
+
+    loader = BatchLoader(
+        train_ds, cfg.train.batch_size, cfg.model.max_vertices,
+        shuffle=True, drop_last=True, seed=cfg.train.seed,
+        augment_on_host=not cfg.train.device_augment)
+
+    run = maybe_wandb(config={
+        "learning_rate": cfg.train.learning_rate,
+        "architecture": "PointCloudToWireframe",
+        "dataset": "Building3D",
+        "epochs": cfg.train.num_epochs,
+    }) if args.wandb else None
+    writer = MetricWriter(jsonl_path=os.path.join(
+        args.checkpoint_dir, "train_metrics.jsonl"), wandb_run=run)
+
+    state = train_model(cfg, loader, metric_writer=writer)
+
+    path = save_checkpoint(args.checkpoint_dir, int(state.step),
+                           state.params, state.opt_state, cfg)
+    print(f"✓ checkpoint saved: {path}")
+    writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,123 @@
+"""Data pipeline: normalization, sampling, augmentation, fixed collation.
+
+Uses a synthetic corpus written to tmp_path in the reference's on-disk
+layout (train/{xyz,wireframe}) — no dependence on the real dataset.
+"""
+
+import numpy as np
+import pytest
+
+from wireframe_tpu.config import DataConfig
+from wireframe_tpu.data.building3d import (
+    Building3DDataset,
+    collate_fixed,
+    edge_endpoint_array,
+)
+from wireframe_tpu.data.loader import BatchLoader
+from wireframe_tpu.io.obj import save_wireframe
+from wireframe_tpu.ops.pairs import num_pairs
+
+from conftest import make_synthetic_sample
+
+
+@pytest.fixture
+def corpus(tmp_path, rng):
+    root = tmp_path / "data"
+    for split, n in (("train", 6), ("test", 3)):
+        (root / split / "xyz").mkdir(parents=True)
+        (root / split / "wireframe").mkdir(parents=True)
+        for i in range(n):
+            pc, verts, edges = make_synthetic_sample(
+                rng, n_points=300 + 17 * i, n_verts=5 + i)
+            np.savetxt(str(root / split / "xyz" / f"{1000 + i}.xyz"), pc)
+            save_wireframe(verts, edges,
+                           str(root / split / "wireframe" / f"{1000 + i}.obj"))
+    return str(root)
+
+
+def make_cfg(corpus, **kw):
+    cfg = DataConfig(root_dir=corpus, num_points=256, max_vertices=16,
+                     augment=False, **kw)
+    return cfg
+
+
+def test_dataset_listing(corpus):
+    ds = Building3DDataset(make_cfg(corpus), "train")
+    assert len(ds) == 6
+    ds_test = Building3DDataset(make_cfg(corpus), "test")
+    assert len(ds_test) == 3
+
+
+def test_normalization(corpus):
+    ds = Building3DDataset(make_cfg(corpus), "train")
+    raw = ds.load_raw(0)
+    pc = raw["point_cloud"]
+    # normalized: centroid ~0, max radius ~1
+    np.testing.assert_allclose(pc[:, :3].mean(0), 0, atol=1e-9)
+    np.testing.assert_allclose(
+        np.max(np.linalg.norm(pc[:, :3], axis=1)), 1.0, rtol=1e-9)
+    # GT vertices share the same frame transform
+    assert np.abs(raw["wf_vertices"]).max() < 10
+
+
+def test_sample_fixed_point_count(corpus, rng):
+    ds = Building3DDataset(make_cfg(corpus), "train")
+    s = ds.get_sample(0, rng=rng)
+    assert s["point_clouds"].shape == (256, 8)
+    assert s["point_clouds"].dtype == np.float32
+
+
+def test_augment_consistency(corpus):
+    """Cloud and GT vertices must receive the same flip/rotation."""
+    cfg = make_cfg(corpus)
+    cfg.augment = True
+    ds = Building3DDataset(cfg, "train")
+    base = ds.load_raw(0)
+    rng = np.random.default_rng(7)
+    s = ds.get_sample(0, rng=rng, augment_on_host=True)
+    # distances between GT vertices are rotation/flip invariant
+    d_base = np.linalg.norm(
+        base["wf_vertices"][:, None] - base["wf_vertices"][None], axis=-1)
+    d_aug = np.linalg.norm(
+        s["wf_vertices"][:, None].astype(np.float64)
+        - s["wf_vertices"][None].astype(np.float64), axis=-1)
+    np.testing.assert_allclose(d_aug, d_base, rtol=1e-4, atol=1e-5)
+    # z coordinates unchanged by z-rotation + xy flips
+    np.testing.assert_allclose(np.sort(s["wf_vertices"][:, 2]),
+                               np.sort(base["wf_vertices"][:, 2]), rtol=1e-5)
+
+
+def test_edge_endpoint_z_ordering(rng):
+    verts = rng.normal(size=(6, 3))
+    edges = np.array([[0, 1], [2, 5]])
+    ev = edge_endpoint_array(verts, edges)
+    assert ev.shape == (2, 2, 3)
+    assert (ev[:, 0, 2] >= ev[:, 1, 2]).all()  # z descending per edge
+
+
+def test_collate_shapes(corpus, rng):
+    ds = Building3DDataset(make_cfg(corpus), "train")
+    samples = [ds.get_sample(i, rng=rng) for i in range(3)]
+    batch = collate_fixed(samples, 16)
+    assert batch["point_clouds"].shape == (3, 256, 8)
+    assert batch["target_vertices"].shape == (3, 16, 3)
+    assert batch["vertex_existence"].shape == (3, 16)
+    assert batch["edge_labels"].shape == (3, num_pairs(16))
+    for i in range(3):
+        c = batch["vertex_counts"][i]
+        assert batch["vertex_existence"][i, :c].all()
+        assert not batch["vertex_existence"][i, c:].any()
+        # every GT edge is a label=1 slot
+        assert batch["edge_labels"][i].sum() == len(batch["wf_edges"][i])
+
+
+def test_loader_epochs(corpus):
+    ds = Building3DDataset(make_cfg(corpus), "train")
+    loader = BatchLoader(ds, batch_size=4, max_vertices=16, shuffle=True,
+                         drop_last=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 1  # 6 samples, bs=4, drop_last
+    assert batches[0]["point_clouds"].shape[0] == 4
+    # second epoch reshuffles but yields the same structure
+    batches2 = list(loader)
+    assert len(batches2) == 1

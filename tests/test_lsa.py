@@ -1,0 +1,58 @@
+"""On-device LSA vs the scipy oracle: assignment cost must match exactly
+(up to float tolerance) on random, tied, and structured cost matrices."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wireframe_tpu.ops.lsa import (
+    assignment_cost,
+    solve_lsa_batch,
+    solve_lsa_callback,
+    solve_lsa_scipy,
+)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 8, 17])
+def test_lsa_matches_scipy_cost(n, rng):
+    cost = rng.random((6, n, n)).astype(np.float32) * 10.0
+    got = np.asarray(solve_lsa_batch(jnp.asarray(cost)))
+    for b in range(cost.shape[0]):
+        assert sorted(got[b].tolist()) == list(range(n))
+        ref = solve_lsa_scipy(cost[b])
+        c_got = cost[b][np.arange(n), got[b]].sum()
+        c_ref = cost[b][np.arange(n), ref].sum()
+        np.testing.assert_allclose(c_got, c_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_lsa_with_ties(rng):
+    # Many equal entries — any optimal permutation is acceptable.
+    cost = rng.integers(0, 3, size=(4, 16, 16)).astype(np.float32)
+    got = np.asarray(solve_lsa_batch(jnp.asarray(cost)))
+    for b in range(4):
+        ref = solve_lsa_scipy(cost[b])
+        c_got = cost[b][np.arange(16), got[b]].sum()
+        c_ref = cost[b][np.arange(16), ref].sum()
+        np.testing.assert_allclose(c_got, c_ref, atol=1e-6)
+
+
+def test_lsa_structured_dummy_columns(rng):
+    # Shape of the wireframe matching problem: c real columns + dummies.
+    n, c = 24, 9
+    l1 = rng.random((n, c)).astype(np.float32) * 4
+    p = rng.random((n, 1)).astype(np.float32)
+    cost = np.concatenate([l1 + (1 - p), np.repeat(p, n - c, 1)], axis=1)
+    got = np.asarray(solve_lsa_batch(jnp.asarray(cost[None])))[0]
+    ref = solve_lsa_scipy(cost)
+    c_got = cost[np.arange(n), got].sum()
+    c_ref = cost[np.arange(n), ref].sum()
+    np.testing.assert_allclose(c_got, c_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_callback_matcher_matches(rng):
+    cost = rng.random((3, 12, 12)).astype(np.float32)
+    a = np.asarray(solve_lsa_callback(jnp.asarray(cost)))
+    b = np.asarray(solve_lsa_batch(jnp.asarray(cost)))
+    ca = np.asarray(assignment_cost(jnp.asarray(cost), jnp.asarray(a)))
+    cb = np.asarray(assignment_cost(jnp.asarray(cost), jnp.asarray(b)))
+    np.testing.assert_allclose(ca, cb, rtol=1e-5, atol=1e-5)

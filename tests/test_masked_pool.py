@@ -1,0 +1,59 @@
+"""Masked pooling vs numpy oracle — the subtle encoder semantics
+(PointNetEncoder.py:85-111) the whole parity story depends on."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from wireframe_tpu.ops.masked_pool import (
+    masked_max,
+    masked_mean,
+    point_validity_mask,
+)
+
+
+def test_validity_mask_zero_rows(rng):
+    x = rng.normal(size=(2, 10, 8)).astype(np.float32)
+    x[0, 3] = 0.0          # padding row -> invalid
+    x[1, 7] = 0.0
+    mask = np.asarray(point_validity_mask(jnp.asarray(x)))
+    assert not mask[0, 3] and not mask[1, 7]
+    assert mask.sum() == 18
+
+
+def test_masked_mean_max_oracle(rng):
+    b, n, c = 3, 32, 16
+    x = rng.normal(size=(b, n, c)).astype(np.float32)
+    mask = rng.random((b, n)) > 0.3
+    mask[0] = True  # one fully valid sample
+    got_mean = np.asarray(masked_mean(jnp.asarray(x), jnp.asarray(mask)))
+    got_max = np.asarray(masked_max(jnp.asarray(x), jnp.asarray(mask)))
+    for i in range(b):
+        rows = x[i][mask[i]]
+        np.testing.assert_allclose(got_mean[i], rows.mean(0), rtol=1e-5)
+        np.testing.assert_allclose(got_max[i], rows.max(0), rtol=1e-5)
+
+
+def test_masked_max_all_invalid_returns_zero():
+    x = jnp.ones((1, 4, 8))
+    mask = jnp.zeros((1, 4), bool)
+    out = np.asarray(masked_max(x, mask))
+    np.testing.assert_array_equal(out, np.zeros((1, 8)))
+    mean = np.asarray(masked_mean(x, mask))
+    np.testing.assert_array_equal(mean, np.zeros((1, 8)))
+
+
+def test_pooling_padding_invariance(rng):
+    # Appending zero (invalid) rows must not change masked pools — the
+    # property that lets us pad point clouds to buckets.
+    x = rng.normal(size=(1, 16, 8)).astype(np.float32)
+    mask = np.ones((1, 16), bool)
+    xp = np.concatenate([x, np.zeros((1, 8, 8), np.float32)], axis=1)
+    maskp = np.concatenate([mask, np.zeros((1, 8), bool)], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(masked_mean(jnp.asarray(x), jnp.asarray(mask))),
+        np.asarray(masked_mean(jnp.asarray(xp), jnp.asarray(maskp))),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(masked_max(jnp.asarray(x), jnp.asarray(mask))),
+        np.asarray(masked_max(jnp.asarray(xp), jnp.asarray(maskp))),
+        rtol=1e-6)

@@ -1,0 +1,175 @@
+"""Metric stack vs hand-computed values and the reference's documented
+test case (eval/ap_calculator.py:125-136 docstring example)."""
+
+import numpy as np
+
+from wireframe_tpu.metrics.ap_calculator import APCalculator
+from wireframe_tpu.metrics.hausdorff import (
+    hausdorff_distance_line,
+    hausdorff_distance_line_jax,
+)
+from wireframe_tpu.metrics.rmse import aligned_rmse, hungarian_rmse
+from wireframe_tpu.metrics.wed import (
+    compute_edge_indices,
+    graph_edit_distance,
+    setdiff_rows,
+)
+
+
+def seg(a, b):
+    return np.array([a, b], dtype=np.float64)
+
+
+def test_hausdorff_identical_segments():
+    p = np.stack([seg([0, 0, 0], [1, 0, 0])])
+    d = hausdorff_distance_line(p, p)
+    np.testing.assert_allclose(d, [[0.0]], atol=1e-12)
+
+
+def test_hausdorff_parallel_offset():
+    # Parallel segments offset by 1 in y: Hausdorff distance exactly 1.
+    p = np.stack([seg([0, 0, 0], [1, 0, 0])])
+    t = np.stack([seg([0, 1, 0], [1, 1, 0])])
+    np.testing.assert_allclose(hausdorff_distance_line(p, t), [[1.0]],
+                               atol=1e-9)
+
+
+def test_hausdorff_asymmetric_containment():
+    # Short segment inside a long one: directed distances differ; the
+    # symmetric Hausdorff is the larger (from the long segment's far ends).
+    p = np.stack([seg([0.45, 0, 0], [0.55, 0, 0])])
+    t = np.stack([seg([0, 0, 0], [1, 0, 0])])
+    d = hausdorff_distance_line(p, t)[0, 0]
+    np.testing.assert_allclose(d, 0.45, atol=2e-2)  # sampled, 20 pts
+
+
+def test_hausdorff_jax_matches_numpy(rng):
+    p = rng.normal(size=(4, 2, 3))
+    t = rng.normal(size=(6, 2, 3))
+    a = hausdorff_distance_line(p, t)
+    b = np.asarray(hausdorff_distance_line_jax(p, t))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_setdiff_rows():
+    a = np.array([[1.0, 2, 3], [4, 5, 6], [1, 2, 3], [7, 8, 9]])
+    b = np.array([[4.0, 5, 6]])
+    out = setdiff_rows(a, b)
+    np.testing.assert_array_equal(out, [[1, 2, 3], [7, 8, 9]])
+
+
+def test_compute_edge_indices():
+    verts = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    ev = np.array([[[1.0, 0, 0], [0, 0, 0]],
+                   [[0.0, 1, 0], [9, 9, 9]]])
+    idx = compute_edge_indices(ev, verts)
+    np.testing.assert_array_equal(idx, [[0, 1], [-1, 2]])
+
+
+def test_wed_perfect_prediction():
+    gt_v = np.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0]])
+    gt_e = np.array([[0, 1], [1, 2]])
+    wed = graph_edit_distance(gt_v.copy(), gt_e.copy(), gt_v, gt_e, 0.0)
+    np.testing.assert_allclose(wed, 0.0, atol=1e-12)
+
+
+def test_wed_missing_edge():
+    gt_v = np.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0]])
+    gt_e = np.array([[0, 1], [1, 2]])
+    pd_e = np.array([[0, 1]])  # missing edge (1,2) of length 1
+    wed = graph_edit_distance(gt_v.copy(), pd_e, gt_v, gt_e, 0.0)
+    np.testing.assert_allclose(wed, 0.5, atol=1e-12)  # 1 missing / 2 total
+
+
+def test_wed_empty_prediction():
+    gt_v = np.array([[0.0, 0, 0], [3, 0, 0]])
+    gt_e = np.array([[0, 1]])
+    wed = graph_edit_distance(np.empty((0, 3)), np.empty((0, 2), np.int64),
+                              gt_v, gt_e, 123.0)
+    np.testing.assert_allclose(wed, 1.0)  # all GT edges unexplained
+
+
+def test_rmse_helpers():
+    a = np.array([[0.0, 0, 0], [1, 0, 0]])
+    b = np.array([[1.0, 0, 0], [0, 0, 0]])  # permuted
+    assert hungarian_rmse(a, b) == 0.0
+    assert aligned_rmse(a, b) > 0.5
+    assert hungarian_rmse(np.empty((0, 3)), b) == float("inf")
+    assert hungarian_rmse(np.empty((0, 3)), np.empty((0, 3))) == 0.0
+
+
+def test_ap_calculator_perfect_prediction():
+    """A perfect wireframe gives precision=recall=F1=1, offset=0, WED=0."""
+    gt_v = np.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 1]])
+    gt_e = np.array([[0, 1], [1, 2], [2, 3], [0, 3]])
+    ev = np.stack([gt_v[gt_e[:, 0]], gt_v[gt_e[:, 1]]], axis=1)
+    order = np.argsort(-ev[:, :, 2], axis=1)
+    ev = np.take_along_axis(ev, order[:, :, None], axis=1)
+
+    ap = APCalculator(distance_thresh=0.1)
+    ap.compute_metrics({
+        "predicted_vertices": [gt_v],
+        "predicted_edges": [gt_e],
+        "pred_edges_vertices": [ev],
+        "wf_vertices": [gt_v],
+        "wf_edges": [gt_e],
+        "wf_edges_vertices": [ev],
+    })
+    d = ap.summarize()
+    assert d["corners_precision"] == 1.0
+    assert d["corners_recall"] == 1.0
+    assert d["edges_precision"] == 1.0
+    assert d["edges_recall"] == 1.0
+    assert d["edges_f1"] == 1.0
+    np.testing.assert_allclose(d["average_corner_offset"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(d["average_wed"], 0.0, atol=1e-9)
+
+
+def test_ap_calculator_no_predicted_edges_fallback():
+    """Corners-only fallback: WED=1, edge metrics zero, corner matching
+    via plain Hungarian within threshold."""
+    gt_v = np.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0]])
+    gt_e = np.array([[0, 1], [1, 2]])
+    pred_v = gt_v + 0.05  # all within 0.1 of GT
+    ap = APCalculator(distance_thresh=0.2)
+    ap.compute_metrics({
+        "predicted_vertices": [pred_v],
+        "predicted_edges": [np.empty((0, 2), np.int64)],
+        "pred_edges_vertices": [np.empty((0, 2, 3))],
+        "wf_vertices": [gt_v],
+        "wf_edges": [gt_e],
+        "wf_edges_vertices": [np.empty((0, 2, 3))],
+    })
+    d = ap.summarize()
+    assert d["tp_corners"] == 3
+    assert d["corners_recall"] == 1.0
+    assert d["edges_precision"] == 0.0
+    assert d["average_wed"] == 1.0
+
+
+def test_ap_calculator_partial_edges():
+    """One of two predicted edges is wrong: edge precision 1/2, recall 1/2
+    (2 GT edges), and the far corner counts only if within threshold."""
+    gt_v = np.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0]])
+    gt_e = np.array([[0, 1], [1, 2]])
+    gt_ev = np.stack([gt_v[gt_e[:, 0]], gt_v[gt_e[:, 1]]], axis=1)
+
+    pred_v = np.array([[0.0, 0, 0], [1, 0, 0], [5, 5, 0]])
+    pd_e = np.array([[0, 1], [1, 2]])
+    pd_ev = np.stack([pred_v[pd_e[:, 0]], pred_v[pd_e[:, 1]]], axis=1)
+
+    ap = APCalculator(distance_thresh=0.2)
+    ap.compute_metrics({
+        "predicted_vertices": [pred_v],
+        "predicted_edges": [pd_e],
+        "pred_edges_vertices": [pd_ev],
+        "wf_vertices": [gt_v],
+        "wf_edges": [gt_e],
+        "wf_edges_vertices": [gt_ev],
+    })
+    d = ap.summarize()
+    assert d["tp_edges"] == 1
+    assert d["edges_precision"] == 0.5
+    assert d["edges_recall"] == 0.5
+    # positive edge (0,1) contributes its two corners
+    assert d["tp_corners"] == 2

@@ -1,0 +1,141 @@
+"""Model forward: shapes, masking invariances, train/inference branches.
+
+These test the properties the fixed-shape TPU design depends on:
+padding points or dead vertex slots must not influence live outputs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wireframe_tpu.config import Config
+from wireframe_tpu.models.wireframe import PointCloudToWireframe
+from wireframe_tpu.ops.pairs import num_pairs, triu_pairs_np
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    cfg = Config()
+    cfg.data.num_points = 64
+    cfg.data.max_vertices = 10
+    cfg.model.encoder_hidden_dims = (32, 64)
+    cfg.model.encoder_output_dim = 32
+    cfg.model.edge_hidden_dim = 32
+    cfg.model.edge_num_heads = 4
+    cfg.__post_init__()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def model_and_params(small_cfg):
+    model = PointCloudToWireframe(small_cfg.model)
+    x = jnp.zeros((2, 64, 8))
+    counts = jnp.array([4, 7], jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, counts,
+                        train=False)["params"]
+    return model, params
+
+
+def test_output_shapes(small_cfg, model_and_params, rng):
+    model, params = model_and_params
+    b, n, v = 2, 64, small_cfg.model.max_vertices
+    x = jnp.asarray(rng.normal(size=(b, n, 8)).astype(np.float32))
+    counts = jnp.array([4, 7], jnp.int32)
+    out = model.apply({"params": params}, x, counts, train=False)
+    assert out["vertices"].shape == (b, v, 3)
+    assert out["existence_probabilities"].shape == (b, v)
+    assert out["edge_probs"].shape == (b, num_pairs(v))
+    assert out["pair_mask"].shape == (b, num_pairs(v))
+    p = np.asarray(out["existence_probabilities"])
+    assert ((p >= 0) & (p <= 1)).all()
+    ep = np.asarray(out["edge_probs"])
+    assert ((ep >= 0) & (ep <= 1)).all()
+
+
+def test_point_padding_invariance(small_cfg, model_and_params, rng):
+    """Appending zero point rows must not change any output (masked
+    pooling property, end to end through the model)."""
+    model, params = model_and_params
+    x = rng.normal(size=(1, 48, 8)).astype(np.float32)
+    xp = np.concatenate([x, np.zeros((1, 16, 8), np.float32)], axis=1)
+    counts = jnp.array([5], jnp.int32)
+
+    # NOTE: the unmasked mean/max pooled stats consumed by the vertex head
+    # DO see padding (reference parity: VertexPredictor.py:86-87 pools
+    # unmasked).  So full-model padding invariance holds only when those
+    # pools are computed over the same rows; here we check the masked
+    # encoder path (global features) instead.
+    out_a = model.apply({"params": params}, jnp.asarray(x), counts,
+                        train=False)
+    out_b = model.apply({"params": params}, jnp.asarray(xp), counts,
+                        train=False)
+    np.testing.assert_allclose(np.asarray(out_a["global_features"]),
+                               np.asarray(out_b["global_features"]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_train_branch_uses_gt_counts(small_cfg, model_and_params, rng):
+    model, params = model_and_params
+    x = jnp.asarray(rng.normal(size=(2, 64, 8)).astype(np.float32))
+    counts = jnp.array([3, 9], jnp.int32)
+    out = model.apply({"params": params}, x, counts, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(out["used_vertex_counts"]),
+                                  [3, 9])
+    # pair_mask must match C(count,2) live pairs
+    assert int(out["pair_mask"][0].sum()) == 3
+    assert int(out["pair_mask"][1].sum()) == 36
+
+
+def test_inference_branch_uses_dynamic_counts(small_cfg, model_and_params, rng):
+    model, params = model_and_params
+    x = jnp.asarray(rng.normal(size=(2, 64, 8)).astype(np.float32))
+    out = model.apply({"params": params}, x, None, train=False)
+    p = np.asarray(out["existence_probabilities"])
+    want = (p > 0.5).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(out["actual_vertex_counts"]),
+                                  want)
+    np.testing.assert_array_equal(np.asarray(out["used_vertex_counts"]),
+                                  want)
+
+
+def test_edge_probs_zero_outside_mask(small_cfg, model_and_params, rng):
+    model, params = model_and_params
+    x = jnp.asarray(rng.normal(size=(1, 64, 8)).astype(np.float32))
+    counts = jnp.array([4], jnp.int32)
+    out = model.apply({"params": params}, x, counts, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    probs = np.asarray(out["edge_probs"][0])
+    mask = np.asarray(out["pair_mask"][0])
+    assert (probs[~mask] == 0).all()
+
+
+def test_attention_dead_slot_invariance(small_cfg, model_and_params, rng):
+    """Live-slot edge probabilities must not depend on dead vertex slots'
+    coordinates — the key-mask property replacing prefix slicing."""
+    model, params = model_and_params
+    v = small_cfg.model.max_vertices
+    x = jnp.asarray(rng.normal(size=(1, 64, 8)).astype(np.float32))
+    counts = jnp.array([5], jnp.int32)
+
+    out1 = model.apply({"params": params}, x, counts, train=True,
+                       rngs={"dropout": jax.random.PRNGKey(3)})
+    # Perturb ONLY the model's dead vertex slots by hacking the edge head
+    # inputs: apply the edge head directly with modified vertices.
+    from wireframe_tpu.models.edge_head import EdgePredictor
+    edge_params = params["edge_predictor"]
+    eh = EdgePredictor(
+        vertex_dim=3, hidden_dim=small_cfg.model.edge_hidden_dim,
+        num_heads=small_cfg.model.edge_num_heads,
+        max_vertices=v)
+    verts = out1["vertices"]
+    slot_mask = jnp.arange(v)[None, :] < counts[:, None]
+    pa, la, ma = eh.apply({"params": edge_params}, verts, slot_mask,
+                          deterministic=True)
+    verts_dirty = verts.at[0, 7:].set(99.0)  # slots 5.. are dead
+    pb, lb, mb = eh.apply({"params": edge_params}, verts_dirty, slot_mask,
+                          deterministic=True)
+    live = np.asarray(ma[0])
+    np.testing.assert_allclose(np.asarray(pa[0])[live],
+                               np.asarray(pb[0])[live], rtol=1e-5, atol=1e-6)

@@ -1,0 +1,196 @@
+"""Single config tree for data / model / train / eval.
+
+The reference scatters its knobs across a yaml (dataset only,
+`datasets/dataset_config.yaml:1-7`) and hard-coded constants
+(batch size `main.py:44`, epochs/lr `main.py:50`, loss weights
+`train.py:91-93`, thresholds `evaluate.py:60,81`).  Here everything lives
+in one dataclass tree with yaml + CLI overrides; the defaults ARE the
+reference's values so a default run reproduces the reference regime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclass
+class DataConfig:
+    """Building3D dataset knobs (reference: datasets/dataset_config.yaml)."""
+
+    root_dir: str = "./datasets"
+    num_points: int = 2560
+    use_color: bool = True
+    use_intensity: bool = True
+    normalize: bool = True
+    augment: bool = True
+    # TPU additions: fixed-shape padding targets.
+    max_vertices: int = 64          # vertex slots (reference derives from batch)
+    # Point-count buckets for inference on raw (unsampled) clouds; training
+    # always uses num_points.  Bounds recompilation to len(buckets) programs.
+    point_buckets: Tuple[int, ...] = (2048, 4096, 8192, 16384)
+    seed: int = 0
+
+    @property
+    def input_dim(self) -> int:
+        if self.use_color and self.use_intensity:
+            return 8
+        if self.use_color:
+            return 7
+        if self.use_intensity:
+            return 4
+        return 3
+
+
+@dataclass
+class ModelConfig:
+    """Architecture dims (reference: models/*.py __init__ defaults)."""
+
+    input_dim: int = 8
+    # Encoder (models/PointNetEncoder.py:19)
+    encoder_hidden_dims: Tuple[int, ...] = (512, 1024, 2048, 1024)
+    encoder_output_dim: int = 512
+    # Vertex head (models/VertexPredictor.py:13)
+    max_vertices: int = 64
+    vertex_dim: int = 4
+    # Edge head (models/EdgePredictor.py:19)
+    edge_hidden_dim: int = 512
+    edge_num_heads: int = 8
+    attn_dropout: float = 0.1
+    edge_dropout: float = 0.1
+    # TPU knobs
+    compute_dtype: str = "float32"   # "bfloat16" for the fast path
+    use_pallas_encoder: bool = False  # fused Pallas point-MLP+pool kernel
+    return_point_features: bool = False  # skip (B,N,512) HBM write when False
+
+
+@dataclass
+class TrainConfig:
+    """Training regime (reference: main.py:44-50, train.py:90-96,141)."""
+
+    batch_size: int = 3
+    num_epochs: int = 1000
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-6
+    adam_eps: float = 1e-8
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    grad_clip_norm: float = 1.0
+    # Loss weights (train.py:91-93)
+    vertex_weight: float = 3.0
+    edge_weight: float = 1.0
+    existence_weight: float = 1.5
+    # Reference behavior: overfit the first batch for num_epochs
+    # (train.py:25).  overfit_one_batch=False gives a real epoch loop.
+    overfit_one_batch: bool = True
+    log_every: int = 20
+    checkpoint_every: int = 200
+    checkpoint_dir: str = "checkpoints"
+    matcher: str = "device"           # "device" (JV on TPU) | "scipy" (callback)
+    seed: int = 0
+    # Device-side augmentation inside the jitted step (TPU-first replacement
+    # for the host numpy augment at building3d.py:131-146).
+    device_augment: bool = True
+
+
+@dataclass
+class EvalConfig:
+    """Evaluation knobs (reference: evaluate.py:60,81)."""
+
+    distance_thresh: float = 1.0
+    edge_confidence_thresh: float = 0.5
+    vertex_existence_thresh: float = 0.5
+    batch_size: int = 3
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh/sharding layout.  The reference has no distributed code; this is
+    the additive TPU scaling path (SURVEY.md §2 parallelism table)."""
+
+    dp: int = -1          # data-parallel ways; -1 = all devices
+    mp: int = 1           # point/model axis ways (sharded pooling)
+    mesh_axis_names: Tuple[str, str] = ("dp", "mp")
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def __post_init__(self):
+        # Keep the two places max_vertices / input_dim live in sync.
+        self.model.max_vertices = self.data.max_vertices
+        self.model.input_dim = self.data.input_dim
+
+
+def _apply_overrides(obj: Any, flat: dict) -> None:
+    for key, value in flat.items():
+        parts = key.split(".")
+        target = obj
+        for p in parts[:-1]:
+            target = getattr(target, p)
+        leaf = parts[-1]
+        if not hasattr(target, leaf):
+            raise KeyError(f"Unknown config key: {key}")
+        current = getattr(target, leaf)
+        if isinstance(current, bool):
+            value = str(value).lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            value = int(value)
+        elif isinstance(current, float):
+            value = float(value)
+        elif isinstance(current, tuple):
+            if isinstance(value, str):
+                value = tuple(int(v) for v in value.split(","))
+            else:
+                value = tuple(value)
+        setattr(target, leaf, value)
+
+
+def load_config(yaml_path: Optional[str] = None,
+                overrides: Optional[Sequence[str]] = None) -> Config:
+    """Build a Config from an optional yaml file plus `k.e.y=value` overrides.
+
+    Accepts both this framework's nested layout and the reference's
+    `Building3D:` dataset yaml (datasets/dataset_config.yaml) for drop-in
+    compatibility.
+    """
+    cfg = Config()
+    if yaml_path:
+        import yaml
+
+        with open(yaml_path) as f:
+            raw = yaml.safe_load(f) or {}
+        if "Building3D" in raw:  # reference-format dataset yaml
+            for k, v in raw["Building3D"].items():
+                if hasattr(cfg.data, k):
+                    setattr(cfg.data, k, v)
+        for section in ("data", "model", "train", "eval", "parallel"):
+            if section in raw:
+                for k, v in raw[section].items():
+                    sec = getattr(cfg, section)
+                    if hasattr(sec, k):
+                        setattr(sec, k, tuple(v) if isinstance(
+                            getattr(sec, k), tuple) else v)
+    if overrides:
+        flat = {}
+        for ov in overrides:
+            k, _, v = ov.partition("=")
+            flat[k.strip()] = v.strip()
+        _apply_overrides(cfg, flat)
+    cfg.__post_init__()
+    return cfg
+
+
+def config_to_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def config_to_json(cfg: Config) -> str:
+    return json.dumps(config_to_dict(cfg), indent=2)

@@ -1,0 +1,6 @@
+from wireframe_tpu.data.building3d import (  # noqa: F401
+    Building3DDataset,
+    build_dataset,
+    collate_fixed,
+)
+from wireframe_tpu.data.loader import BatchLoader  # noqa: F401

@@ -1,0 +1,83 @@
+"""Batch loader: shuffled fixed-shape batches with background prefetch.
+
+Replaces torch DataLoader(batch_size=3, shuffle=True, drop_last=True,
+collate_fn=collate_batch) from main.py:42-48.  Host work (parse, sample,
+collate) runs in a worker thread one batch ahead of the consumer so the
+accelerator never waits on ingest.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from wireframe_tpu.data.building3d import Building3DDataset, collate_fixed
+
+
+class BatchLoader:
+    def __init__(self, dataset: Building3DDataset, batch_size: int,
+                 max_vertices: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 augment_on_host: Optional[bool] = None,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_vertices = max_vertices
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.augment_on_host = augment_on_host
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def _make_batch(self, indices) -> dict:
+        samples = [
+            self.dataset.get_sample(
+                int(i), rng=self._rng, augment_on_host=self.augment_on_host)
+            for i in indices
+        ]
+        return collate_fixed(samples, self.max_vertices)
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._epoch_indices()
+        bs = self.batch_size
+        batches = [indices[k:k + bs] for k in range(0, len(indices), bs)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == bs]
+
+        if self.prefetch <= 0:
+            for bi in batches:
+                yield self._make_batch(bi)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for bi in batches:
+                    q.put(self._make_batch(bi))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -1,0 +1,95 @@
+"""Model evaluation over a dataset split with the Building3D AP stack.
+
+Mirrors evaluate.py:25-116: batched inference (the model's inference
+branch derives vertex counts from existence probabilities), edge
+thresholding at `edge_confidence_thresh`, z-descending edge endpoint
+construction, and streaming APCalculator accumulation.
+
+Reference parity notes:
+- ALL `max_vertices` predicted slots are passed as predicted corners
+  (evaluate.py:76 does not filter by existence), so corner precision is
+  denominated by the slot count — trained behavior, kept.
+- predicted edges are pairs over the first `dynamic_count` slots with
+  probability > threshold (PointCloudToWireframe.py:90-92 prefix
+  convention on the static pair axis).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wireframe_tpu.config import Config
+from wireframe_tpu.data.building3d import (
+    Building3DDataset,
+    collate_fixed,
+    edge_endpoint_array,
+)
+from wireframe_tpu.metrics.ap_calculator import APCalculator
+from wireframe_tpu.ops.pairs import pairs_from_mask
+from wireframe_tpu.train.step import make_forward_fn
+
+
+def decode_predictions(pred_vertices: np.ndarray, edge_probs: np.ndarray,
+                       dynamic_count: int, max_vertices: int,
+                       thresh: float = 0.5) -> Dict[str, np.ndarray]:
+    """Decode one sample's raw arrays into wireframe structures."""
+    pd_edges = pairs_from_mask(edge_probs, dynamic_count, max_vertices, thresh)
+    pd_edges_vertices = edge_endpoint_array(
+        np.asarray(pred_vertices, np.float64), pd_edges)
+    return {
+        "vertices": np.asarray(pred_vertices),
+        "edges": pd_edges,
+        "edges_vertices": pd_edges_vertices,
+    }
+
+
+def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
+                   forward_fn=None,
+                   indices: Optional[List[int]] = None,
+                   verbose: bool = True) -> Dict[str, float]:
+    """Run inference over `dataset` and return the Building3D metric dict."""
+    if forward_fn is None:
+        forward_fn = jax.jit(make_forward_fn(cfg, train=False))
+    ap = APCalculator(distance_thresh=cfg.eval.distance_thresh,
+                      confidence_thresh=cfg.eval.edge_confidence_thresh)
+    v = cfg.model.max_vertices
+    bs = cfg.eval.batch_size
+    rng = np.random.default_rng(cfg.data.seed)
+
+    idxs = list(range(len(dataset))) if indices is None else list(indices)
+    for k in range(0, len(idxs), bs):
+        chunk = idxs[k:k + bs]
+        samples = [dataset.get_sample(i, rng=rng, augment_on_host=False)
+                   for i in chunk]
+        batch = collate_fixed(samples, v)
+        preds = forward_fn(params, jnp.asarray(batch["point_clouds"]), None)
+        pred_vertices = np.asarray(preds["vertices"])
+        edge_probs = np.asarray(preds["edge_probs"])
+        counts = np.asarray(preds["actual_vertex_counts"])
+
+        ap_batch = {
+            "predicted_vertices": [], "predicted_edges": [],
+            "pred_edges_vertices": [], "wf_vertices": [], "wf_edges": [],
+            "wf_edges_vertices": [],
+        }
+        for i in range(len(chunk)):
+            dec = decode_predictions(
+                pred_vertices[i], edge_probs[i], int(counts[i]), v,
+                cfg.eval.edge_confidence_thresh)
+            gt_vertices = batch["wf_vertices"][i]
+            gt_edges = batch["wf_edges"][i].astype(np.int64)
+            gt_ev = edge_endpoint_array(
+                np.asarray(gt_vertices, np.float64), gt_edges)
+            ap_batch["predicted_vertices"].append(dec["vertices"])
+            ap_batch["predicted_edges"].append(dec["edges"])
+            ap_batch["pred_edges_vertices"].append(dec["edges_vertices"])
+            ap_batch["wf_vertices"].append(gt_vertices)
+            ap_batch["wf_edges"].append(gt_edges)
+            ap_batch["wf_edges_vertices"].append(gt_ev)
+        ap.compute_metrics(ap_batch)
+
+    return ap.output_accuracy() if verbose else ap.summarize()

@@ -1,0 +1,75 @@
+"""`.xyz` LiDAR point-cloud ingest.
+
+File format (reference README.md:40-55): whitespace-separated rows of
+``X Y Z R G B A Intensity`` floats.  The reference parses with
+``np.loadtxt`` (datasets/building3d.py:99), which is Python-loop slow;
+here the default is a single-pass ``np.fromstring`` tokenizer (~20x
+faster) with an optional C++ native parser (`wireframe_tpu.io.native`)
+for the async ingest pipeline.  All paths produce identical float64 arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_parser():
+    """Lazily load the C++ parser; fall back to numpy when unavailable."""
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from wireframe_tpu.io.native import parse_xyz_native
+            _NATIVE = parse_xyz_native
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
+
+def read_xyz(path: str, use_native: bool = True) -> np.ndarray:
+    """Read an .xyz file into an (N, C) float64 array.
+
+    C is inferred from the first row (8 for the Building3D corpus).
+    """
+    native = _native_parser() if use_native else None
+    if native is not None:
+        out = native(path)
+        if out is not None:
+            return out
+    with open(path, "rb") as f:
+        data = f.read()
+    text = data.decode("ascii", errors="ignore")
+    first_line = text.split("\n", 1)[0]
+    ncols = len(first_line.split())
+    flat = np.fromstring(text, dtype=np.float64, sep=" ")
+    if ncols == 0 or flat.size % ncols != 0:
+        # Irregular rows — fall back to the robust (slow) parser.
+        return np.loadtxt(path, dtype=np.float64, ndmin=2)
+    return flat.reshape(-1, ncols)
+
+
+def select_features(pc: np.ndarray, use_color: bool,
+                    use_intensity: bool) -> np.ndarray:
+    """Channel selection + color scaling.
+
+    Matches datasets/building3d.py:102-111, including dividing RGBA by 256
+    and leaving the raw intensity column unscaled.  The reference's
+    `use_intensity and not use_color` branch crashes on a 1-D concatenate
+    (building3d.py:108); fixed here (documented divergence, SURVEY.md §7
+    quirk 2).
+    """
+    pc = np.array(pc, dtype=np.float64, copy=True)
+    if not use_color and not use_intensity:
+        return pc[:, 0:3]
+    if use_color and not use_intensity:
+        out = pc[:, 0:7]
+        out[:, 3:] = out[:, 3:] / 256.0
+        return out
+    if not use_color and use_intensity:
+        return np.concatenate((pc[:, 0:3], pc[:, 7:8]), axis=1)
+    out = pc
+    out[:, 3:7] = out[:, 3:7] / 256.0
+    return out

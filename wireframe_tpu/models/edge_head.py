@@ -1,0 +1,108 @@
+"""Attention-based edge prediction head.
+
+Capability parity with models/EdgePredictor.py: embed vertex coordinates
+(3 -> 256 -> 512 with LayerNorm/GELU/Dropout), one multi-head
+self-attention layer (8 heads, dropout 0.1) with a residual connection,
+then per-pair features [f_i ‖ f_j ‖ x_i ‖ x_j ‖ dist] (1031-d) through an
+MLP 1031 -> 512 -> 256 -> 128 -> 1 with sigmoid.
+
+TPU-first differences:
+- the reference re-enumerates vertex pairs with a Python double loop on
+  every forward and runs one sample at a time over a dynamic vertex
+  prefix (EdgePredictor.py:82-89, PointCloudToWireframe.py:77-97).  Here
+  the pair table is a static (E, 2) constant over all `max_vertices`
+  slots and the whole batch is one gather + one batched MLP;
+- variable vertex counts become a key mask on the attention (slots
+  >= count can't be attended to, reproducing the reference's
+  prefix-slice attention for the live slots) and a pair-validity mask
+  zeroing probabilities outside the prefix (reproducing its zero padding
+  at PointCloudToWireframe.py:107-110).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wireframe_tpu.ops.pairs import triu_pairs
+
+
+class EdgePredictor(nn.Module):
+    vertex_dim: int = 3
+    hidden_dim: int = 512
+    num_heads: int = 8
+    attn_dropout: float = 0.1
+    mlp_dropout: float = 0.1
+    max_vertices: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vertices: jnp.ndarray, slot_mask: jnp.ndarray,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """
+        Args:
+          vertices: (B, V, 3) predicted coordinates for ALL slots.
+          slot_mask: (B, V) bool — True for live vertex slots (< count).
+          deterministic: disables dropout (eval).
+        Returns:
+          edge_probs: (B, E) sigmoid probabilities, zeroed outside the
+            pair-validity mask.
+          edge_logits: (B, E) raw logits (for numerically-stable BCE).
+          pair_mask: (B, E) bool validity mask.
+        """
+        b, v, _ = vertices.shape
+        h = self.hidden_dim
+        x = vertices.astype(self.dtype)
+
+        # Vertex embedding (EdgePredictor.py:31-38).
+        f = nn.Dense(h // 2, dtype=self.dtype)(x)
+        f = nn.LayerNorm(dtype=jnp.float32)(f)
+        f = nn.gelu(f)
+        f = nn.Dense(h, dtype=self.dtype)(f)
+        f = nn.LayerNorm(dtype=jnp.float32)(f)
+        f = nn.Dropout(self.mlp_dropout, deterministic=deterministic)(f)
+
+        # Self-attention over live slots only: key mask keeps dead slots
+        # out of every softmax, so live-slot outputs equal the reference's
+        # prefix-sliced attention.
+        attn_mask = slot_mask[:, None, None, :]  # (B, 1, Q=1->V, K=V)
+        attn_mask = jnp.broadcast_to(attn_mask, (b, 1, v, v))
+        attended = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            dropout_rate=self.attn_dropout,
+            deterministic=deterministic,
+            name="attention",
+        )(f, f, f, mask=attn_mask)
+        f = f + attended  # residual (EdgePredictor.py:114)
+
+        # Static pair gather.
+        pairs = triu_pairs(v)  # (E, 2) int32
+        i_idx, j_idx = pairs[:, 0], pairs[:, 1]
+        f1 = f[:, i_idx, :]       # (B, E, H)
+        f2 = f[:, j_idx, :]
+        c1 = x[:, i_idx, :]       # (B, E, 3)
+        c2 = x[:, j_idx, :]
+        dist = jnp.linalg.norm(c1 - c2, axis=-1, keepdims=True)
+
+        pair_feats = jnp.concatenate([f1, f2, c1, c2, dist], axis=-1)
+
+        # Edge MLP (EdgePredictor.py:56-68).
+        y = nn.Dense(h, dtype=self.dtype)(pair_feats)
+        y = nn.LayerNorm(dtype=jnp.float32)(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.mlp_dropout, deterministic=deterministic)(y)
+        y = nn.Dense(h // 2, dtype=self.dtype)(y)
+        y = nn.LayerNorm(dtype=jnp.float32)(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.mlp_dropout, deterministic=deterministic)(y)
+        y = nn.Dense(h // 4, dtype=self.dtype)(y)
+        y = nn.gelu(y)
+        logits = nn.Dense(1, dtype=self.dtype)(y)[..., 0]  # (B, E)
+        logits = logits.astype(jnp.float32)
+
+        pair_mask = slot_mask[:, j_idx]  # j > i, so j live implies i live
+        probs = nn.sigmoid(logits) * pair_mask.astype(jnp.float32)
+        return probs, logits, pair_mask

@@ -1,0 +1,96 @@
+"""End-to-end point-cloud -> wireframe model.
+
+Capability parity with models/PointCloudToWireframe.py: encoder -> vertex
+head -> edge head.  During training the edge head sees the ground-truth
+vertex counts; during inference it uses the dynamic counts derived from
+the existence probabilities (threshold 0.5), exactly like the reference's
+two branches (PointCloudToWireframe.py:77-97) — but as ONE batched,
+fixed-shape call instead of a per-sample Python loop with `.item()` host
+syncs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wireframe_tpu.config import ModelConfig
+from wireframe_tpu.models.edge_head import EdgePredictor
+from wireframe_tpu.models.encoder import PointNetEncoder
+from wireframe_tpu.models.vertex_head import VertexPredictor
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+class PointCloudToWireframe(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, point_cloud: jnp.ndarray,
+                 target_vertex_counts: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        """
+        Args:
+          point_cloud: (B, N, input_dim) — zero rows are padding.
+          target_vertex_counts: (B,) GT counts; used for the edge head when
+            `train=True` (reference behavior).
+          train: training mode (dropout active, GT counts drive edges).
+        """
+        cfg = self.config
+        dt = _dtype(cfg.compute_dtype)
+
+        encoder = PointNetEncoder(
+            input_dim=cfg.input_dim,
+            hidden_dims=tuple(cfg.encoder_hidden_dims),
+            output_dim=cfg.encoder_output_dim,
+            dtype=dt,
+            return_point_features=cfg.return_point_features,
+            name="encoder",
+        )
+        global_features, pooled, point_features = encoder(point_cloud)
+
+        vertex_out = VertexPredictor(
+            global_feature_dim=cfg.encoder_output_dim,
+            max_vertices=cfg.max_vertices,
+            vertex_dim=cfg.vertex_dim,
+            dtype=dt,
+            name="vertex_predictor",
+        )(global_features, pooled)
+
+        if train and target_vertex_counts is not None:
+            used_counts = target_vertex_counts.astype(jnp.int32)
+        else:
+            used_counts = vertex_out["actual_vertex_counts"]
+
+        slot_ids = jnp.arange(cfg.max_vertices, dtype=jnp.int32)
+        slot_mask = slot_ids[None, :] < used_counts[:, None]  # (B, V)
+
+        edge_probs, edge_logits, pair_mask = EdgePredictor(
+            vertex_dim=3,
+            hidden_dim=cfg.edge_hidden_dim,
+            num_heads=cfg.edge_num_heads,
+            attn_dropout=cfg.attn_dropout,
+            mlp_dropout=cfg.edge_dropout,
+            max_vertices=cfg.max_vertices,
+            dtype=dt,
+            name="edge_predictor",
+        )(vertex_out["vertices"], slot_mask, deterministic=not train)
+
+        out = {
+            "vertices": vertex_out["vertices"],
+            "existence_logits": vertex_out["existence_logits"],
+            "existence_probabilities": vertex_out["existence_probabilities"],
+            "actual_vertex_counts": vertex_out["actual_vertex_counts"],
+            "used_vertex_counts": used_counts,
+            "edge_probs": edge_probs,
+            "edge_logits": edge_logits,
+            "pair_mask": pair_mask,
+            "global_features": global_features,
+        }
+        if point_features is not None:
+            out["point_features"] = point_features
+        return out

@@ -1,0 +1,6 @@
+from wireframe_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicate,
+    shard_batch,
+)

@@ -1,0 +1,73 @@
+"""Train state: params + optimizer, matching the reference regime.
+
+Optimizer parity with train.py:96 + train.py:141: global-norm gradient
+clipping at 1.0, then torch-style Adam — lr 1e-3, betas (0.9, 0.999),
+eps 1e-8, and *coupled* L2 weight decay 1e-6 (torch.optim.Adam adds
+wd * param to the gradient BEFORE the Adam moments, which is
+`optax.add_decayed_weights` before `scale_by_adam` — NOT AdamW).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from wireframe_tpu.config import Config
+from wireframe_tpu.models.wireframe import PointCloudToWireframe
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    return optax.chain(
+        optax.clip_by_global_norm(t.grad_clip_norm),
+        optax.add_decayed_weights(t.weight_decay),
+        optax.scale_by_adam(b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps),
+        optax.scale(-t.learning_rate),
+    )
+
+
+def create_train_state(cfg: Config, rng: jax.Array,
+                       sample_batch_shape=None) -> TrainState:
+    """Initialize model params + optimizer.
+
+    sample_batch_shape: optional (B, N, D); defaults from config.
+    """
+    model = PointCloudToWireframe(cfg.model)
+    if sample_batch_shape is None:
+        sample_batch_shape = (1, cfg.data.num_points, cfg.model.input_dim)
+    dummy = jnp.zeros(sample_batch_shape, jnp.float32)
+    dummy_counts = jnp.full((sample_batch_shape[0],), 4, jnp.int32)
+    params = model.init(
+        {"params": rng}, dummy, dummy_counts, train=False)["params"]
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def param_count(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
