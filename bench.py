@@ -45,16 +45,29 @@ def main() -> int:
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     warmup = 5
     bench_train = os.environ.get("BENCH_TRAIN", "0") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
 
     cfg = Config()
     cfg.data.num_points = points
     cfg.model.compute_dtype = dtype
+    cfg.model.use_pallas_encoder = use_pallas and not bench_train
     cfg.train.device_augment = False
     cfg.__post_init__()
 
+    try:  # persistent compile cache: repeat bench runs skip recompiles
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR",
+                                         "/tmp/jax_compile_cache"))
+    except Exception:
+        pass
+
     dev = jax.devices()[0]
+    _log("init params (tiny shape)")
+    # Params are independent of batch/point count: init at a tiny shape so
+    # the big compile budget goes to the benchmarked program itself.
+    init_points = 256 if points % 256 == 0 else points
     state = create_train_state(cfg, jax.random.PRNGKey(0),
-                               (batch, points, cfg.model.input_dim))
+                               (1, init_points, cfg.model.input_dim))
 
     r = np.random.default_rng(0)
     x = jnp.asarray(r.normal(size=(batch, points, cfg.model.input_dim))

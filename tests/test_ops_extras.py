@@ -1,0 +1,77 @@
+"""Matcher public API, adjacency conversions, native parser."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from wireframe_tpu.ops.adjacency import (
+    adjacency_from_edge_probs,
+    edge_probs_from_adjacency,
+)
+from wireframe_tpu.ops.matcher import WireframeMatcher
+from wireframe_tpu.ops.pairs import num_pairs, triu_pairs_np
+
+
+def test_matcher_recovers_permutation(rng):
+    """Targets = a permutation of (a prefix of) preds with high existence:
+    the matcher must recover the permutation exactly."""
+    b, v, c = 2, 10, 6
+    pred = rng.normal(size=(b, v, 3)).astype(np.float32) * 5
+    perm = np.stack([rng.permutation(v)[:c] for _ in range(b)])
+    tgt = np.zeros((b, v, 3), np.float32)
+    for i in range(b):
+        tgt[i, :c] = pred[i, perm[i]]
+    exist = np.full((b, v), 0.9, np.float32)
+    counts = np.full((b,), c, np.int32)
+
+    matcher = WireframeMatcher()
+    col4row, matched = matcher(
+        jnp.asarray(pred), jnp.asarray(exist), jnp.asarray(tgt),
+        jnp.asarray(counts))
+    col4row, matched = np.asarray(col4row), np.asarray(matched)
+    for i in range(b):
+        # matched rows must be exactly perm[i]
+        assert matched[i].sum() == c
+        for j in range(c):
+            assert col4row[i, perm[i][j]] == j
+
+
+def test_adjacency_round_trip(rng):
+    v = 12
+    e = num_pairs(v)
+    probs = (rng.random((3, e)) > 0.6).astype(np.float32)
+    adj = np.asarray(adjacency_from_edge_probs(jnp.asarray(probs), v))
+    assert adj.shape == (3, v, v)
+    np.testing.assert_array_equal(adj, np.swapaxes(adj, 1, 2))  # symmetric
+    assert (np.diagonal(adj, axis1=1, axis2=2) == 0).all()
+    back = np.asarray(edge_probs_from_adjacency(jnp.asarray(adj)))
+    np.testing.assert_array_equal(back, probs)
+
+
+def test_native_parser_matches_numpy(tmp_path, rng):
+    data = rng.normal(size=(200, 8)) * 1e5
+    path = str(tmp_path / "x.xyz")
+    np.savetxt(path, data, fmt="%.10g")
+    from wireframe_tpu.io.native import parse_xyz_native
+    got = parse_xyz_native(path)
+    if got is None:  # no g++ in this environment — numpy fallback covers it
+        import pytest
+        pytest.skip("native parser unavailable")
+    ref = np.loadtxt(path, ndmin=2)
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_native_parser_scientific_and_irregular(tmp_path):
+    path = str(tmp_path / "x.xyz")
+    with open(path, "w") as f:
+        f.write("1e3 -2.5E-2 3\n4 5 6\n")
+    from wireframe_tpu.io.native import parse_xyz_native
+    got = parse_xyz_native(path)
+    if got is None:
+        import pytest
+        pytest.skip("native parser unavailable")
+    np.testing.assert_allclose(got, [[1000, -0.025, 3], [4, 5, 6]])
+    # Irregular rows -> None (caller falls back to numpy)
+    with open(path, "w") as f:
+        f.write("1 2 3\n4 5\n")
+    got2 = parse_xyz_native(path)
+    assert got2 is None or got2.size == 5  # must not crash

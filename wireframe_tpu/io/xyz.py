@@ -1,11 +1,10 @@
 """`.xyz` LiDAR point-cloud ingest.
 
 File format (reference README.md:40-55): whitespace-separated rows of
-``X Y Z R G B A Intensity`` floats.  The reference parses with
-``np.loadtxt`` (datasets/building3d.py:99), which is Python-loop slow;
-here the default is a single-pass ``np.fromstring`` tokenizer (~20x
-faster) with an optional C++ native parser (`wireframe_tpu.io.native`)
-for the async ingest pipeline.  All paths produce identical float64 arrays.
+``X Y Z R G B A Intensity`` floats.  Primary path is the C++ native
+parser (`wireframe_tpu.io.native`, single strtod pass over a read-once
+buffer) feeding the async ingest pipeline; ``np.loadtxt`` is the
+fallback.  Both produce identical float64 arrays (unit-tested).
 """
 
 from __future__ import annotations
@@ -39,16 +38,7 @@ def read_xyz(path: str, use_native: bool = True) -> np.ndarray:
         out = native(path)
         if out is not None:
             return out
-    with open(path, "rb") as f:
-        data = f.read()
-    text = data.decode("ascii", errors="ignore")
-    first_line = text.split("\n", 1)[0]
-    ncols = len(first_line.split())
-    flat = np.fromstring(text, dtype=np.float64, sep=" ")
-    if ncols == 0 or flat.size % ncols != 0:
-        # Irregular rows — fall back to the robust (slow) parser.
-        return np.loadtxt(path, dtype=np.float64, ndmin=2)
-    return flat.reshape(-1, ncols)
+    return np.loadtxt(path, dtype=np.float64, ndmin=2)
 
 
 def select_features(pc: np.ndarray, use_color: bool,

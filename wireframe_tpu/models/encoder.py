@@ -2,27 +2,28 @@
 
 Capability parity with the reference encoder (models/PointNetEncoder.py):
   per-point shared MLP  input_dim -> 512 -> 1024 -> 2048 -> 1024 -> 512
-  (Dense + LayerNorm + ReLU per stage, plain Dense final projection),
+  (Linear + LayerNorm + ReLU per stage, plain Linear final projection),
   mask-aware mean + max pooling over points, and a fusion MLP
   1024 -> 2048 -> 1024 -> 512 over the concatenated pools.
 
 TPU-first differences:
-- the whole thing is one batched einsum chain — points never leave the
-  device and there is no per-sample Python,
-- pooling is expressed through `wireframe_tpu.ops.masked_pool` so it can
-  run sharded over the point axis (associative reductions -> psum/pmax),
-- optional fused Pallas kernel (`ops/pallas_encoder.py`) keeps the
-  (B*N, 2048) intermediates in VMEM instead of HBM,
-- in addition to the masked pools the encoder returns the *unmasked*
-  mean/max over point features, because the downstream vertex head pools
-  point features without a mask (reference VertexPredictor.py:86-87);
-  returning the pooled stats lets callers skip materializing the
-  (B, N, 512) point-feature tensor in HBM entirely.
+- one batched matmul chain — points never leave the device, no
+  per-sample Python;
+- two interchangeable compute paths over a SINGLE parameter layout:
+  the plain-XLA chain (`ops.pallas_encoder.point_encoder_reference`,
+  used for training/autodiff and on CPU) and the fused Pallas kernel
+  (`ops.pallas_encoder.fused_point_encoder`) that keeps weights and
+  activations in VMEM and fuses the pooling reductions;
+- besides the masked pools, the encoder returns the *unmasked* mean/max
+  over point features, because the downstream vertex head pools point
+  features without a mask (reference VertexPredictor.py:86-87); with the
+  fused kernel the (B, N, 512) point-feature tensor is never written to
+  HBM unless explicitly requested.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -32,22 +33,10 @@ from wireframe_tpu.ops.masked_pool import (
     masked_mean,
     point_validity_mask,
 )
-
-
-class PointMLP(nn.Module):
-    """Shared per-point MLP: [Dense+LN+ReLU]*len(hidden) + Dense(out)."""
-
-    hidden_dims: Sequence[int]
-    output_dim: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for h in self.hidden_dims:
-            x = nn.Dense(h, dtype=self.dtype, name=f"dense_{h}_{x.shape[-1]}")(x)
-            x = nn.LayerNorm(dtype=jnp.float32)(x)
-            x = nn.relu(x)
-        return nn.Dense(self.output_dim, dtype=self.dtype, name="proj")(x)
+from wireframe_tpu.ops.pallas_encoder import (
+    fused_point_encoder,
+    point_encoder_reference,
+)
 
 
 class FusionMLP(nn.Module):
@@ -71,8 +60,9 @@ class FusionMLP(nn.Module):
 class PointNetEncoder(nn.Module):
     """Returns (global_features, pooled_stats, point_features?).
 
-    pooled_stats is a dict with the four reductions downstream consumers
-    need; `point_features` is None unless `return_point_features`.
+    pooled_stats holds the four reductions downstream consumers need
+    (masked_mean/masked_max for the fusion MLP, mean/max for the vertex
+    head); `point_features` is None unless `return_point_features`.
     """
 
     input_dim: int = 8
@@ -80,33 +70,55 @@ class PointNetEncoder(nn.Module):
     output_dim: int = 512
     dtype: jnp.dtype = jnp.float32
     return_point_features: bool = False
+    use_pallas: bool = False
+    pallas_tile: int = 256
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        # x: (B, N, input_dim).  Validity mask from the RAW input, matching
-        # PointNetEncoder.py:85 (an all-zero row — real or padding — is
-        # invalid; padding in this framework is all-zero rows).
-        mask = point_validity_mask(x)  # (B, N)
+        # x: (B, N, input_dim); all-zero rows are padding.
+        kernel_init = nn.initializers.lecun_normal()
+        stage_params = []
+        prev = self.input_dim
+        for i, h in enumerate(self.hidden_dims):
+            w = self.param(f"stage{i}_w", kernel_init, (prev, h))
+            b = self.param(f"stage{i}_b", nn.initializers.zeros, (h,))
+            g = self.param(f"stage{i}_ln_scale", nn.initializers.ones, (h,))
+            be = self.param(f"stage{i}_ln_bias", nn.initializers.zeros, (h,))
+            stage_params.append((w, b, g, be))
+            prev = h
+        final_w = self.param("proj_w", kernel_init, (prev, self.output_dim))
+        final_b = self.param("proj_b", nn.initializers.zeros,
+                             (self.output_dim,))
 
-        feats = PointMLP(self.hidden_dims, self.output_dim,
-                         dtype=self.dtype, name="point_mlp")(
-            x.astype(self.dtype))  # (B, N, C)
-
-        f32 = feats.astype(jnp.float32)
-        pooled = {
-            "masked_max": masked_max(f32, mask),
-            "masked_mean": masked_mean(f32, mask),
-            # Unmasked pools consumed by the vertex head
-            # (reference pools point features without a mask).
-            "mean": jnp.mean(f32, axis=-2),
-            "max": jnp.max(f32, axis=-2),
-        }
+        n = x.shape[1]
+        use_pallas = self.use_pallas and (n % self.pallas_tile == 0)
+        point_features = None
+        if use_pallas:
+            pooled = fused_point_encoder(
+                x.astype(jnp.float32), stage_params, final_w, final_b,
+                tile=self.pallas_tile,
+                return_point_features=self.return_point_features)
+            point_features = pooled.pop("point_features", None)
+        else:
+            # Validity mask from the RAW input (PointNetEncoder.py:85):
+            # an all-zero row — padding by convention — is invalid.
+            mask = point_validity_mask(x)
+            feats = point_encoder_reference(
+                x, stage_params, final_w, final_b,
+                compute_dtype=self.dtype)            # (B, N, C) f32
+            pooled = {
+                "masked_max": masked_max(feats, mask),
+                "masked_mean": masked_mean(feats, mask),
+                # Unmasked pools consumed by the vertex head
+                # (reference pools point features without a mask).
+                "mean": jnp.mean(feats, axis=-2),
+                "max": jnp.max(feats, axis=-2),
+            }
+            if self.return_point_features:
+                point_features = feats
 
         combined = jnp.concatenate(
             [pooled["masked_max"], pooled["masked_mean"]], axis=-1)
         global_features = FusionMLP(self.output_dim, dtype=self.dtype,
                                     name="fusion")(combined)
-        global_features = global_features.astype(jnp.float32)
-
-        point_features = feats if self.return_point_features else None
-        return global_features, pooled, point_features
+        return global_features.astype(jnp.float32), pooled, point_features

@@ -49,6 +49,9 @@ class PointCloudToWireframe(nn.Module):
             output_dim=cfg.encoder_output_dim,
             dtype=dt,
             return_point_features=cfg.return_point_features,
+            # The fused kernel has no autodiff rule; training takes the
+            # XLA path (same params), inference takes the kernel.
+            use_pallas=cfg.use_pallas_encoder and not train,
             name="encoder",
         )
         global_features, pooled, point_features = encoder(point_cloud)
