@@ -23,6 +23,9 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--split", default="test", choices=("train", "test"))
+    p.add_argument("--raw-points", action="store_true",
+                   help="evaluate on full unsampled clouds via bucketed "
+                        "batching instead of 2560-point sampling")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="KEY=VALUE")
     return p.parse_args(argv)
@@ -40,16 +43,18 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     cfg.data.root_dir = resolve_data_root(args.data_root)
 
+    from wireframe_tpu.train.checkpoint import apply_checkpoint_model_config
+
     payload, meta = load_checkpoint(args.checkpoint_dir, args.step)
-    # Honor checkpoint metadata over local config (single source of truth
-    # for max_vertices — fixes reference quirk 10).
-    if meta.get("max_vertices"):
-        cfg.data.max_vertices = int(meta["max_vertices"])
-        cfg.__post_init__()
+    # Restore the architecture from checkpoint metadata (single source of
+    # truth — fixes reference quirk 10).
+    apply_checkpoint_model_config(cfg, meta)
 
     dataset = Building3DDataset(cfg.data, args.split)
-    print(f"Evaluating {len(dataset)} samples from '{args.split}'")
-    evaluate_model(cfg, payload["params"], dataset)
+    print(f"Evaluating {len(dataset)} samples from '{args.split}'"
+          + (" (raw clouds, bucketed)" if args.raw_points else ""))
+    evaluate_model(cfg, payload["params"], dataset,
+                   raw_points=args.raw_points)
     return 0
 
 

@@ -32,6 +32,11 @@ def parse_args(argv=None):
                    metavar="KEY=VALUE", help="config override, repeatable")
     p.add_argument("--wandb", action="store_true",
                    help="log to wandb when available")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in "
+                        "--checkpoint-dir")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax debug_nans (fail fast on NaN)")
     return p.parse_args(argv)
 
 
@@ -62,6 +67,11 @@ def main(argv=None):
     cfg.data.root_dir = resolve_data_root(args.data_root)
     cfg.train.checkpoint_dir = args.checkpoint_dir
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     train_ds = Building3DDataset(cfg.data, "train")
     print(f"Training samples: {len(train_ds)}")
 
@@ -79,11 +89,44 @@ def main(argv=None):
     writer = MetricWriter(jsonl_path=os.path.join(
         args.checkpoint_dir, "train_metrics.jsonl"), wandb_run=run)
 
-    state = train_model(cfg, loader, metric_writer=writer)
+    state = None
+    start_epoch = 0
+    if args.resume:
+        from wireframe_tpu.train.checkpoint import (
+            latest_step,
+            load_checkpoint,
+        )
+        from wireframe_tpu.train.state import create_train_state
+
+        if latest_step(args.checkpoint_dir) is not None:
+            import jax
+
+            template_state = create_train_state(
+                cfg, jax.random.PRNGKey(cfg.train.seed),
+                (cfg.train.batch_size, cfg.data.num_points,
+                 cfg.model.input_dim))
+            payload, meta = load_checkpoint(
+                args.checkpoint_dir,
+                template={"params": template_state.params,
+                          "opt_state": template_state.opt_state})
+            state = template_state.replace(
+                step=jax.numpy.asarray(meta.get("step", 0)),
+                params=payload["params"],
+                opt_state=payload["opt_state"])
+            start_epoch = int(meta.get("step", 0))
+            print(f"Resuming from epoch {start_epoch}")
+
+    state = train_model(cfg, loader, metric_writer=writer, state=state,
+                        start_epoch=start_epoch)
 
     path = save_checkpoint(args.checkpoint_dir, int(state.step),
                            state.params, state.opt_state, cfg)
     print(f"✓ checkpoint saved: {path}")
+    if run is not None:
+        # Cross-script linkage the reference maintains (main.py:57-61).
+        with open("wandb_run_id.txt", "w") as f:
+            f.write(run.id)
+        print(f"✓ W&B run ID saved: {run.id}")
     writer.close()
     return 0
 

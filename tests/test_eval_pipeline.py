@@ -1,0 +1,97 @@
+"""End-to-end eval pipeline on a synthetic corpus: sampled mode, raw
+bucketed mode, and .obj emission consistency."""
+
+import numpy as np
+import jax
+import pytest
+
+from wireframe_tpu.config import Config
+from wireframe_tpu.data.building3d import Building3DDataset
+from wireframe_tpu.eval.evaluator import (
+    decode_predictions,
+    evaluate_model,
+    predict_bucketed,
+)
+from wireframe_tpu.io.obj import save_wireframe
+from wireframe_tpu.train.state import create_train_state
+from wireframe_tpu.train.step import make_forward_fn
+
+from conftest import make_synthetic_sample
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    root = tmp_path_factory.mktemp("corpus")
+    for split, n in (("train", 2), ("test", 3)):
+        (root / split / "xyz").mkdir(parents=True)
+        (root / split / "wireframe").mkdir(parents=True)
+        sizes = [150, 300, 500]
+        for i in range(n):
+            pc, verts, edges = make_synthetic_sample(
+                rng, n_points=sizes[i % 3], n_verts=5)
+            np.savetxt(str(root / split / "xyz" / f"{i}.xyz"), pc)
+            save_wireframe(verts, edges,
+                           str(root / split / "wireframe" / f"{i}.obj"))
+
+    cfg = Config()
+    cfg.data.root_dir = str(root)
+    cfg.data.num_points = 128
+    cfg.data.max_vertices = 10
+    cfg.data.point_buckets = (256, 512)
+    cfg.model.encoder_hidden_dims = (32, 64)
+    cfg.model.encoder_output_dim = 32
+    cfg.model.edge_hidden_dim = 32
+    cfg.model.edge_num_heads = 2
+    cfg.eval.batch_size = 2
+    cfg.__post_init__()
+    state = create_train_state(cfg, jax.random.PRNGKey(0), (1, 128, 8))
+    return cfg, state.params
+
+
+def test_evaluate_sampled(setup, capsys):
+    cfg, params = setup
+    ds = Building3DDataset(cfg.data, "test")
+    metrics = evaluate_model(cfg, params, ds, verbose=False)
+    for key in ("corners_precision", "corners_recall", "corners_f1",
+                "edges_precision", "edges_recall", "edges_f1",
+                "average_corner_offset", "average_wed"):
+        assert key in metrics
+        assert np.isfinite(metrics[key])
+
+
+def test_evaluate_raw_bucketed(setup):
+    cfg, params = setup
+    ds = Building3DDataset(cfg.data, "test")
+    metrics = evaluate_model(cfg, params, ds, verbose=False,
+                             raw_points=True)
+    assert np.isfinite(metrics["corners_f1"])
+    assert metrics["tp_fn_corners"] == 15  # 3 samples x 5 GT vertices
+
+
+def test_predict_bucketed_order_and_shapes(setup, rng):
+    cfg, params = setup
+    clouds = [rng.normal(size=(n, 8)).astype(np.float32)
+              for n in (100, 400, 200)]
+    out = predict_bucketed(cfg, params, clouds)
+    assert len(out) == 3
+    v = cfg.model.max_vertices
+    for r in out:
+        assert r["vertices"].shape == (v, 3)
+        assert 0 <= r["count"] <= v
+
+
+def test_decode_predictions_threshold(rng):
+    from wireframe_tpu.ops.pairs import num_pairs
+
+    v = 6
+    verts = rng.normal(size=(v, 3))
+    probs = np.zeros(num_pairs(v))
+    probs[0] = 0.9   # pair (0,1)
+    probs[5] = 0.7   # pair (1,2)
+    dec = decode_predictions(verts, probs, dynamic_count=3, max_vertices=v)
+    np.testing.assert_array_equal(dec["edges"], [[0, 1], [1, 2]])
+    assert dec["edges_vertices"].shape == (2, 2, 3)
+    # z-descending per edge
+    assert (dec["edges_vertices"][:, 0, 2]
+            >= dec["edges_vertices"][:, 1, 2]).all()

@@ -1,0 +1,160 @@
+"""Multi-device sharding on the 8-virtual-CPU-device mesh: mesh layout,
+batch sharding, the explicit shard_map sharded pooling vs the unsharded
+oracle, and a sharded train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wireframe_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+def test_virtual_device_count():
+    assert len(jax.devices()) == 8, (
+        "tests need XLA_FLAGS=--xla_force_host_platform_device_count=8")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(dp=4, mp=2)
+    assert mesh.shape == {"dp": 4, "mp": 2}
+    mesh_auto = make_mesh(dp=-1, mp=2)
+    assert mesh_auto.shape == {"dp": 4, "mp": 2}
+    with pytest.raises(AssertionError):
+        make_mesh(dp=-1, mp=3)  # 8 % 3 != 0
+
+
+def test_shard_batch_layout(rng):
+    mesh = make_mesh(dp=4, mp=2)
+    batch = {
+        "point_clouds": rng.normal(size=(8, 64, 8)).astype(np.float32),
+        "vertex_counts": np.arange(8, dtype=np.int32),
+        "extra_key": np.zeros(3, np.float32),  # replicated
+    }
+    sharded = shard_batch(mesh, batch)
+    pc = sharded["point_clouds"]
+    # batch axis split 4 ways, point axis 2 ways
+    assert pc.sharding.is_equivalent_to(
+        batch_sharding(mesh)["point_clouds"], pc.ndim)
+    np.testing.assert_array_equal(np.asarray(pc), batch["point_clouds"])
+
+
+def test_sharded_pools_match_unsharded(rng):
+    from wireframe_tpu.ops.masked_pool import (
+        masked_max,
+        masked_mean,
+        point_validity_mask,
+    )
+    from wireframe_tpu.ops.pallas_encoder import point_encoder_reference
+    from wireframe_tpu.parallel.sharded_pool import sharded_point_pools
+
+    mesh = make_mesh(dp=4, mp=2)
+    b, n, d, c = 2, 64, 8, 32
+    sp = []
+    prev = d
+    for h in (32, 32):
+        sp.append((
+            jnp.asarray((rng.normal(size=(prev, h)) * 0.1).astype(np.float32)),
+            jnp.zeros((h,), jnp.float32),
+            jnp.ones((h,), jnp.float32),
+            jnp.zeros((h,), jnp.float32)))
+        prev = h
+    fw = jnp.asarray((rng.normal(size=(prev, c)) * 0.1).astype(np.float32))
+    fb = jnp.zeros((c,), jnp.float32)
+
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    x[0, 50:] = 0.0  # padding in one shard's slice
+    xj = jnp.asarray(x)
+
+    got = sharded_point_pools(mesh, xj, sp, fw, fb,
+                              compute_dtype=jnp.float32)
+    feats = point_encoder_reference(xj, sp, fw, fb,
+                                    compute_dtype=jnp.float32)
+    mask = point_validity_mask(xj)
+    np.testing.assert_allclose(np.asarray(got["masked_mean"]),
+                               np.asarray(masked_mean(feats, mask)),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["masked_max"]),
+                               np.asarray(masked_max(feats, mask)),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["mean"]),
+                               np.asarray(jnp.mean(feats, -2)),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["max"]),
+                               np.asarray(jnp.max(feats, -2)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    """One jitted train step on the (dp, mp) mesh must produce the same
+    loss and parameter update as the unsharded step (GSPMD partitioning
+    must not change semantics)."""
+    from wireframe_tpu.config import Config
+    from wireframe_tpu.ops.pairs import num_pairs
+    from wireframe_tpu.train.state import create_train_state
+    from wireframe_tpu.train.step import make_train_step
+
+    cfg = Config()
+    cfg.data.num_points = 64
+    cfg.data.max_vertices = 8
+    cfg.model.encoder_hidden_dims = (32,)
+    cfg.model.encoder_output_dim = 32
+    cfg.model.edge_hidden_dim = 32
+    cfg.model.edge_num_heads = 2
+    cfg.train.device_augment = False
+    cfg.__post_init__()
+
+    b, n, d, v = 8, 64, 8, 8
+    e = num_pairs(v)
+    counts = rng.integers(3, v + 1, size=b).astype(np.int32)
+    batch = {
+        "point_clouds": rng.normal(size=(b, n, d)).astype(np.float32),
+        "target_vertices": (rng.normal(size=(b, v, 3)) * (
+            np.arange(v)[None, :, None] < counts[:, None, None])
+        ).astype(np.float32),
+        "vertex_existence": (np.arange(v)[None, :] < counts[:, None]
+                             ).astype(np.float32),
+        "vertex_counts": counts,
+        "edge_labels": (rng.random((b, e)) < 0.2).astype(np.float32),
+    }
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0), (b, n, d))
+    step = jax.jit(make_train_step(cfg))
+    rng_step = jax.random.PRNGKey(1)
+
+    # Unsharded
+    s1, m1 = step(state, {k: jnp.asarray(v_) for k, v_ in batch.items()},
+                  rng_step)
+
+    # Sharded over (dp=4, mp=2)
+    mesh = make_mesh(dp=4, mp=2)
+    with mesh:
+        sharded_state = state.replace(params=replicate(mesh, state.params),
+                                      opt_state=replicate(mesh,
+                                                          state.opt_state))
+        sb = shard_batch(mesh, batch)
+        s2, m2 = step(sharded_state, sb, rng_step)
+
+    # Existence/edge losses are pure elementwise reductions — must match
+    # to float noise.  The vertex loss goes through the discrete matcher,
+    # where an epsilon-level reduction-order difference in the cost matrix
+    # (mp-sharded pooling sums) can flip a near-tie to a different,
+    # equally-optimal assignment; tolerate 1%.
+    np.testing.assert_allclose(float(m1["existence_loss"]),
+                               float(m2["existence_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["edge_loss"]),
+                               float(m2["edge_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["vertex_loss"]),
+                               float(m2["vertex_loss"]), rtol=1e-2)
+    # One Adam step moves each param by at most ~lr; updates must agree
+    # to a fraction of that.
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for a, c2 in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c2),
+                                   atol=2.5e-3)

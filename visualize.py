@@ -58,10 +58,10 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     cfg.data.root_dir = resolve_data_root(args.data_root)
 
+    from wireframe_tpu.train.checkpoint import apply_checkpoint_model_config
+
     payload, meta = load_checkpoint(args.checkpoint_dir, args.step)
-    if meta.get("max_vertices"):
-        cfg.data.max_vertices = int(meta["max_vertices"])
-        cfg.__post_init__()
+    apply_checkpoint_model_config(cfg, meta)
 
     if args.interactive:
         args.split = input("dataset split [train/test]: ").strip() or "test"

@@ -47,11 +47,43 @@ def decode_predictions(pred_vertices: np.ndarray, edge_probs: np.ndarray,
     }
 
 
+def predict_bucketed(cfg: Config, params, clouds: List[np.ndarray],
+                     forward_fn=None) -> List[Dict[str, np.ndarray]]:
+    """Inference over RAW (unsampled, variable-size) clouds.
+
+    Clouds are grouped by point-count bucket (cfg.data.point_buckets),
+    zero-padded to the bucket (masked out by the encoder), and batched
+    per bucket — at most len(buckets) compiled programs.  Returns
+    per-cloud dicts {vertices, edge_probs, count} in input order.
+    """
+    from wireframe_tpu.data.bucketing import group_by_bucket
+
+    if forward_fn is None:
+        forward_fn = jax.jit(make_forward_fn(cfg, train=False))
+    rng = np.random.default_rng(cfg.data.seed)
+    groups = group_by_bucket(clouds, cfg.data.point_buckets, rng)
+    results: List[Optional[dict]] = [None] * len(clouds)
+    for bucket, (idxs, stacked) in sorted(groups.items()):
+        preds = forward_fn(params, jnp.asarray(stacked), None)
+        verts = np.asarray(preds["vertices"])
+        probs = np.asarray(preds["edge_probs"])
+        counts = np.asarray(preds["actual_vertex_counts"])
+        for j, i in enumerate(idxs):
+            results[i] = {"vertices": verts[j], "edge_probs": probs[j],
+                          "count": int(counts[j])}
+    return results
+
+
 def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
                    forward_fn=None,
                    indices: Optional[List[int]] = None,
-                   verbose: bool = True) -> Dict[str, float]:
-    """Run inference over `dataset` and return the Building3D metric dict."""
+                   verbose: bool = True,
+                   raw_points: bool = False) -> Dict[str, float]:
+    """Run inference over `dataset` and return the Building3D metric dict.
+
+    raw_points=True evaluates on the full unsampled clouds via bucketed
+    batching instead of the reference's 2560-point random sampling.
+    """
     if forward_fn is None:
         forward_fn = jax.jit(make_forward_fn(cfg, train=False))
     ap = APCalculator(distance_thresh=cfg.eval.distance_thresh,
@@ -63,6 +95,43 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
     idxs = list(range(len(dataset))) if indices is None else list(indices)
     for k in range(0, len(idxs), bs):
         chunk = idxs[k:k + bs]
+        if raw_points:
+            import dataclasses
+
+            raw_cfg = dataclasses.replace(cfg.data, num_points=0)
+            saved = dataset.cfg
+            dataset.cfg = raw_cfg
+            try:
+                samples = [dataset.get_sample(i, rng=rng,
+                                              augment_on_host=False)
+                           for i in chunk]
+            finally:
+                dataset.cfg = saved
+            bucketed = predict_bucketed(
+                cfg, params, [s["point_clouds"] for s in samples],
+                forward_fn)
+            # Build the AP batch directly from bucketed predictions.
+            ap_batch = {
+                "predicted_vertices": [], "predicted_edges": [],
+                "pred_edges_vertices": [], "wf_vertices": [],
+                "wf_edges": [], "wf_edges_vertices": [],
+            }
+            for s, pred in zip(samples, bucketed):
+                dec = decode_predictions(
+                    pred["vertices"], pred["edge_probs"], pred["count"],
+                    v, cfg.eval.edge_confidence_thresh)
+                gt_vertices = s["wf_vertices"]
+                gt_edges = s["wf_edges"].astype(np.int64)
+                gt_ev = edge_endpoint_array(
+                    np.asarray(gt_vertices, np.float64), gt_edges)
+                ap_batch["predicted_vertices"].append(dec["vertices"])
+                ap_batch["predicted_edges"].append(dec["edges"])
+                ap_batch["pred_edges_vertices"].append(dec["edges_vertices"])
+                ap_batch["wf_vertices"].append(gt_vertices)
+                ap_batch["wf_edges"].append(gt_edges)
+                ap_batch["wf_edges_vertices"].append(gt_ev)
+            ap.compute_metrics(ap_batch)
+            continue
         samples = [dataset.get_sample(i, rng=rng, augment_on_host=False)
                    for i in chunk]
         batch = collate_fixed(samples, v)

@@ -59,8 +59,12 @@ def latest_step(directory: str) -> Optional[int]:
 
 def load_checkpoint(directory: str, step: Optional[int] = None,
                     template: Any = None) -> Tuple[dict, dict]:
-    """Returns (payload, metadata).  `template` (a pytree of like-shaped
-    arrays) enables strict shape/dtype restoration when provided."""
+    """Returns (payload, metadata).
+
+    Pass `template` (a like-shaped pytree, e.g. {"params": ...,
+    "opt_state": ...}) to restore exact pytree structure — REQUIRED when
+    restoring `opt_state`, because without it orbax returns plain dicts
+    where optax expects its NamedTuple states."""
     if step is None:
         step = latest_step(directory)
         if step is None:
@@ -75,6 +79,27 @@ def load_checkpoint(directory: str, step: Optional[int] = None,
         with open(meta_path) as f:
             meta = json.load(f)
     return payload, meta
+
+
+def apply_checkpoint_model_config(cfg: Config, meta: dict) -> Config:
+    """Overwrite cfg's MODEL architecture fields from checkpoint metadata.
+
+    Single source of truth for the architecture at load time (the
+    reference instead sniffs `max_vertices` from a weight shape,
+    evaluate.py:49-52 — quirk 10).  Data/eval knobs stay CLI-controlled.
+    """
+    saved = meta.get("config", {}).get("model")
+    if saved:
+        for key, value in saved.items():
+            if hasattr(cfg.model, key):
+                current = getattr(cfg.model, key)
+                setattr(cfg.model, key,
+                        tuple(value) if isinstance(current, tuple) else value)
+        cfg.data.max_vertices = cfg.model.max_vertices
+    elif meta.get("max_vertices"):
+        cfg.data.max_vertices = int(meta["max_vertices"])
+        cfg.model.max_vertices = cfg.data.max_vertices
+    return cfg
 
 
 # ---------------------------------------------------------------------------

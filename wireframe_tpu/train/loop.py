@@ -37,10 +37,17 @@ def _device_batch(batch: dict) -> dict:
 
 def train_model(cfg: Config, loader: BatchLoader,
                 metric_writer=None,
-                state: Optional[TrainState] = None) -> TrainState:
+                state: Optional[TrainState] = None,
+                start_epoch: int = 0) -> TrainState:
     """Train and return the final TrainState (reference returns the final,
-    not best, model — quirk 6; best metrics are tracked and logged)."""
-    rng = jax.random.PRNGKey(cfg.train.seed)
+    not best, model — quirk 6; best metrics are tracked and logged).
+
+    Fault tolerance the reference lacks (SURVEY.md §5): a checkpoint is
+    written every `checkpoint_every` epochs, and passing a restored
+    `state` + `start_epoch` resumes deterministically (the data order is
+    re-seeded per epoch index).
+    """
+    rng = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), start_epoch)
     rng, init_rng = jax.random.split(rng)
 
     t0 = time.time()
@@ -63,7 +70,7 @@ def train_model(cfg: Config, loader: BatchLoader,
         batches = loader
 
     num_epochs = cfg.train.num_epochs
-    epoch = 0
+    epoch = start_epoch
     step_count = 0
     while epoch < num_epochs:
         if fixed is not None:
@@ -100,6 +107,14 @@ def train_model(cfg: Config, loader: BatchLoader,
                     "best_vertex_rmse": best_rmse,
                 })
         epoch += 1
+        if (cfg.train.checkpoint_every > 0
+                and epoch % cfg.train.checkpoint_every == 0
+                and epoch < num_epochs):
+            from wireframe_tpu.train.checkpoint import save_checkpoint
+
+            path = save_checkpoint(cfg.train.checkpoint_dir, epoch,
+                                   state.params, state.opt_state, cfg)
+            logger.info("Checkpoint written: %s", path)
 
     logger.info("Training completed! Best loss: %.6f, Best RMSE: %.6f",
                 best_loss, best_rmse)
