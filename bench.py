@@ -130,9 +130,12 @@ def main() -> int:
         _log("compile+warmup start")
         chained(warmup)
         _log("warmup done; timing")
-        t0 = time.perf_counter()
-        chained(iters)
-        dt = time.perf_counter() - t0
+        from wireframe_tpu.utils.profiling import trace
+
+        with trace(os.environ.get("BENCH_PROFILE")):
+            t0 = time.perf_counter()
+            chained(iters)
+            dt = time.perf_counter() - t0
         _log(f"timed {iters} iters in {dt:.3f}s")
         metric, unit = "clouds_per_sec_per_chip", "clouds/sec/chip"
 

@@ -49,6 +49,32 @@ def test_lsa_structured_dummy_columns(rng):
     np.testing.assert_allclose(c_got, c_ref, rtol=1e-5, atol=1e-5)
 
 
+def test_rectangular_dynamic_rows(rng):
+    """solve_lsa_rows with dynamic active-row counts must match scipy on
+    the corresponding submatrix."""
+    import jax.numpy as jnp
+    from scipy.optimize import linear_sum_assignment
+
+    from wireframe_tpu.ops.lsa import solve_lsa_rows_batch
+
+    r_dim, c_dim, b = 12, 20, 4
+    cost = rng.random((b, r_dim, c_dim)).astype(np.float32) * 5
+    counts = rng.integers(0, r_dim + 1, size=b).astype(np.int32)
+    got = np.asarray(solve_lsa_rows_batch(jnp.asarray(cost),
+                                          jnp.asarray(counts)))
+    for i in range(b):
+        c = counts[i]
+        assert (got[i, c:] == -1).all()
+        if c == 0:
+            continue
+        active = got[i, :c]
+        assert len(set(active.tolist())) == c  # distinct columns
+        ri, ci = linear_sum_assignment(cost[i, :c])
+        c_ref = cost[i, :c][ri, ci].sum()
+        c_got = cost[i, np.arange(c), active].sum()
+        np.testing.assert_allclose(c_got, c_ref, rtol=1e-5, atol=1e-5)
+
+
 def test_callback_matcher_matches(rng):
     cost = rng.random((3, 12, 12)).astype(np.float32)
     a = np.asarray(solve_lsa_callback(jnp.asarray(cost)))

@@ -89,6 +89,10 @@ class TrainConfig:
     checkpoint_every: int = 200
     checkpoint_dir: str = "checkpoints"
     matcher: str = "device"           # "device" (JV on TPU) | "scipy" (callback)
+    # Also keep the best-loss params and save them as step_<N>_best at the
+    # end (the reference tracks best but saves final — quirk 6; this is
+    # the documented "add best-checkpoint option").
+    save_best: bool = False
     seed: int = 0
     # Device-side augmentation inside the jitted step (TPU-first replacement
     # for the host numpy augment at building3d.py:131-146).

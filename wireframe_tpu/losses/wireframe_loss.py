@@ -38,7 +38,9 @@ from typing import Dict
 
 import jax.numpy as jnp
 
-from wireframe_tpu.ops.lsa import solve_lsa_batch, solve_lsa_callback
+import jax
+
+from wireframe_tpu.ops.lsa import solve_lsa_callback, solve_lsa_rows_batch
 
 
 @dataclass(frozen=True)
@@ -100,11 +102,33 @@ def wireframe_loss(predictions: Dict[str, jnp.ndarray],
     b, v, _ = pred_v.shape
 
     # ---- 1. Hungarian-matched vertex loss --------------------------------
-    cost = matching_cost_matrix(pred_v, pred_p, tgt_v, counts)
     if cfg.matcher == "scipy":
+        cost = matching_cost_matrix(pred_v, pred_p, tgt_v, counts)
         col4row = solve_lsa_callback(cost)
     else:
-        col4row = solve_lsa_batch(cost)
+        # Rectangular reduction of the square padded problem: with dummy
+        # columns all costing p_i, the optimum equals (up to the constant
+        # sum_i p_i) the c x V assignment of real targets to pred slots
+        # with cost L1(i,j) + 1 - 2*p_i.  +1 keeps entries non-negative
+        # (constant shifts per assigned row preserve the argmin).  This
+        # runs c augmentations instead of V on device.
+        l1 = jnp.sum(
+            jnp.abs(pred_v[:, :, None, :] - tgt_v[:, None, :, :]),
+            axis=-1)                                    # (B, Vpred, Vtgt)
+        cost_t = jnp.transpose(l1, (0, 2, 1)) + (
+            2.0 - 2.0 * pred_p)[:, None, :]             # (B, Vtgt, Vpred)
+        slot4target = solve_lsa_rows_batch(cost_t, counts)   # (B, V)
+
+        # Invert target->slot into the square-problem convention
+        # (col4row[b, i] = target index matched to pred slot i, or a
+        # >=count sentinel for unmatched slots).
+        def invert(slots, c):
+            tgt_idx = jnp.arange(v, dtype=jnp.int32)
+            idx = jnp.where(tgt_idx < c, slots, v)
+            out = jnp.full((v + 1,), v, jnp.int32).at[idx].set(tgt_idx)
+            return out[:v]
+
+        col4row = jax.vmap(invert)(slot4target, counts)
     # pred slot i matched to real target col4row[i] iff col4row[i] < count.
     matched = col4row < counts[:, None]                         # (B, V)
     tgt_matched = jnp.take_along_axis(

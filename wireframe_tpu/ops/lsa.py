@@ -7,19 +7,28 @@ Here the solver is a JAX implementation of the shortest-augmenting-path
 (Jonker-Volgenant) algorithm, jittable and `vmap`-able, so the whole train
 step stays on TPU.
 
-Algorithm: for each row, run a Dijkstra-style search over columns with
-dual potentials (u, v), then augment along the found path.  This is the
-same algorithm scipy uses (Crouse 2016); the returned assignment may
-differ on cost ties, but the total assignment cost is optimal and equal.
+Algorithm: one augmentation per active row — a Dijkstra-style search over
+columns with dual potentials (u, v), early-exiting the moment an
+unassigned column becomes the frontier minimum, then augmenting along the
+predecessor path.  This is the same algorithm scipy uses (Crouse 2016);
+the returned assignment may differ on cost ties, but the total assignment
+cost is optimal and equal.
 
-Costs must be finite.  Callers encoding "forbidden" entries should use a
-large finite penalty (see `BIG`).
+Shapes are static; the number of ACTIVE rows can be dynamic
+(`solve_lsa_rows`), which the wireframe loss exploits: its square
+V x V problem (real columns + p_i-valued dummy columns) reduces to a
+rectangular c x V problem over the c real targets only — c
+augmentations instead of V (SURVEY.md §7 "on-device Hungarian").
+
+Costs must be finite and NON-NEGATIVE (zero initial duals are only
+feasible for non-negative costs; shift by a constant per fully-assigned
+row if needed — constant shifts don't change the argmin).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,39 +37,33 @@ import numpy as np
 BIG = 1e9
 
 
-def _augmenting_path_scan(cost, u, v, row4col, cur_row):
-    """One Dijkstra pass from `cur_row`.
+def _augment_row(cost, u, v, col4row, row4col, cur_row):
+    """One augmentation starting from row `cur_row`.
 
-    Returns (sink, min_val, SR, SC, shortest_path_costs, path).
-    Implemented as a bounded `fori_loop` over at-most-n column selections —
-    static trip count keeps this trivially vmap-able and avoids
-    while-loop batching overhead for small n.
+    Returns updated (u, v, col4row, row4col).
+    cost: (R, C); u: (R,); v: (C,); col4row: (R,); row4col: (C,).
     """
-    n = cost.shape[0]
+    n_rows, n_cols = cost.shape
     inf = jnp.asarray(jnp.inf, cost.dtype)
 
-    SR = jnp.zeros((n,), jnp.bool_)
-    SC = jnp.zeros((n,), jnp.bool_)
-    spc = jnp.full((n,), inf, cost.dtype)       # shortest path cost per col
-    path = jnp.full((n,), -1, jnp.int32)        # predecessor row per col
-    min_val = jnp.asarray(0.0, cost.dtype)
-    i = jnp.asarray(cur_row, jnp.int32)
-    sink = jnp.asarray(-1, jnp.int32)
+    SR0 = jnp.zeros((n_rows,), jnp.bool_)
+    SC0 = jnp.zeros((n_cols,), jnp.bool_)
+    spc0 = jnp.full((n_cols,), inf, cost.dtype)
+    path0 = jnp.full((n_cols,), -1, jnp.int32)
 
-    def body(_, state):
-        SR, SC, spc, path, min_val, i, sink = state
-        done = sink >= 0
+    def cond(s):
+        _, _, _, _, _, _, sink = s
+        return sink < 0
 
-        SR2 = SR.at[i].set(True)
-        # Relax edges out of row i.
+    def body(s):
+        SR, SC, spc, path, min_val, i, _ = s
+        SR = SR.at[i].set(True)
         r = min_val + cost[i] - u[i] - v
         better = (r < spc) & (~SC)
-        spc2 = jnp.where(better, r, spc)
-        path2 = jnp.where(better, i, path)
+        spc = jnp.where(better, r, spc)
+        path = jnp.where(better, i, path)
 
-        # Pick the lowest-cost unscanned column, preferring unassigned
-        # columns on ties (any optimal tie-break is valid).
-        cand = jnp.where(SC, inf, spc2)
+        cand = jnp.where(SC, inf, spc)
         lowest = jnp.min(cand)
         is_lowest = cand == lowest
         unassigned_low = is_lowest & (row4col == -1)
@@ -68,79 +71,95 @@ def _augmenting_path_scan(cost, u, v, row4col, cur_row):
                       jnp.argmax(unassigned_low),
                       jnp.argmax(is_lowest)).astype(jnp.int32)
 
-        new_sink = jnp.where(row4col[j] == -1, j, -1)
-        new_i = jnp.where(new_sink < 0, row4col[j], i)
-        SC2 = SC.at[j].set(True)
+        sink = jnp.where(row4col[j] == -1, j, -1)
+        i_next = jnp.where(sink < 0, row4col[j], i)
+        SC = SC.at[j].set(True)
+        return SR, SC, spc, path, lowest, i_next, sink
 
-        return (
-            jnp.where(done, SR, SR2),
-            jnp.where(done, SC, SC2),
-            jnp.where(done, spc, spc2),
-            jnp.where(done, path, path2),
-            jnp.where(done, min_val, lowest),
-            jnp.where(done, i, new_i),
-            jnp.where(done, sink, new_sink),
-        )
+    init = (SR0, SC0, spc0, path0, jnp.asarray(0.0, cost.dtype),
+            jnp.asarray(cur_row, jnp.int32), jnp.asarray(-1, jnp.int32))
+    SR, SC, spc, path, min_val, _, sink = jax.lax.while_loop(
+        cond, body, init)
 
-    SR, SC, spc, path, min_val, i, sink = jax.lax.fori_loop(
-        0, n, body, (SR, SC, spc, path, min_val, i, sink))
-    return sink, min_val, SR, SC, spc, path
+    # Dual updates keep reduced costs non-negative for later rows.
+    idx = jnp.arange(n_rows)
+    u = u.at[cur_row].add(min_val)
+    other = SR & (idx != cur_row)
+    safe_cols = jnp.where(col4row >= 0, col4row, 0)
+    u = jnp.where(other, u + min_val - spc[safe_cols], u)
+    v = jnp.where(SC, v - (min_val - spc), v)
+
+    # Augment along predecessors from sink back to cur_row.
+    def aug_cond(s):
+        _, _, _, done = s
+        return jnp.logical_not(done)
+
+    def aug_body(s):
+        j, c4r, r4c, _ = s
+        i = path[j]
+        r4c = r4c.at[j].set(i)
+        nxt = c4r[i]
+        c4r = c4r.at[i].set(j)
+        return nxt, c4r, r4c, i == cur_row
+
+    _, col4row, row4col, _ = jax.lax.while_loop(
+        aug_cond, aug_body, (sink, col4row, row4col, False))
+    return u, v, col4row, row4col
 
 
-def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
-    """Solve square LSA. cost: (n, n) finite. Returns col4row: (n,) int32,
-    the column assigned to each row (a permutation of 0..n-1), minimizing
-    sum_i cost[i, col4row[i]].
+def solve_lsa_rows(cost: jnp.ndarray,
+                   num_rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Rectangular LSA: assign the first `num_rows` rows of a (R, C)
+    non-negative cost matrix (num_rows <= R <= C) to distinct columns.
+
+    Returns col4row (R,) int32 — the column per row, -1 for inactive rows.
     """
-    n = cost.shape[0]
-    assert cost.shape == (n, n), "solve_lsa requires a square cost matrix"
+    n_rows, n_cols = cost.shape
+    assert n_rows <= n_cols, "need rows <= cols; transpose the problem"
     dtype = cost.dtype
+    if num_rows is None:
+        num_rows = jnp.asarray(n_rows, jnp.int32)
+    else:
+        num_rows = jnp.asarray(num_rows, jnp.int32)
 
-    u0 = jnp.zeros((n,), dtype)
-    v0 = jnp.zeros((n,), dtype)
-    col4row0 = jnp.full((n,), -1, jnp.int32)
-    row4col0 = jnp.full((n,), -1, jnp.int32)
+    def outer_cond(s):
+        row, *_ = s
+        return row < num_rows
 
-    def outer(cur_row, state):
-        u, v, col4row, row4col = state
-        sink, min_val, SR, SC, spc, path = _augmenting_path_scan(
-            cost, u, v, row4col, cur_row)
+    def outer_body(s):
+        row, u, v, col4row, row4col = s
+        u, v, col4row, row4col = _augment_row(
+            cost, u, v, col4row, row4col, row)
+        return row + 1, u, v, col4row, row4col
 
-        # Dual updates (keeps reduced costs non-negative).
-        idx = jnp.arange(n)
-        u = u.at[cur_row].add(min_val)
-        other = SR & (idx != cur_row)
-        # col4row[i] is valid for every i in SR except cur_row.
-        safe_cols = jnp.where(col4row >= 0, col4row, 0)
-        u = jnp.where(other, u + min_val - spc[safe_cols], u)
-        v = jnp.where(SC, v - (min_val - spc), v)
-
-        # Augment: walk predecessors from sink back to cur_row.
-        def aug_cond(s):
-            _, _, _, done = s
-            return jnp.logical_not(done)
-
-        def aug_body(s):
-            j, c4r, r4c, _ = s
-            i = path[j]
-            r4c = r4c.at[j].set(i)
-            nxt = c4r[i]
-            c4r = c4r.at[i].set(j)
-            return nxt, c4r, r4c, i == cur_row
-
-        _, col4row, row4col, _ = jax.lax.while_loop(
-            aug_cond, aug_body, (sink, col4row, row4col, False))
-        return u, v, col4row, row4col
-
-    _, _, col4row, _ = jax.lax.fori_loop(
-        0, n, outer, (u0, v0, col4row0, row4col0))
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.zeros((n_rows,), dtype),
+            jnp.zeros((n_cols,), dtype),
+            jnp.full((n_rows,), -1, jnp.int32),
+            jnp.full((n_cols,), -1, jnp.int32))
+    _, _, _, col4row, _ = jax.lax.while_loop(outer_cond, outer_body, init)
     return col4row
 
 
-@functools.partial(jax.jit, static_argnames=())
+def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
+    """Square LSA. cost: (n, n) finite, non-negative.  Returns col4row
+    (n,) int32, a permutation minimizing sum_i cost[i, col4row[i]]."""
+    n = cost.shape[0]
+    assert cost.shape == (n, n), "solve_lsa requires a square cost matrix"
+    return solve_lsa_rows(cost, None)
+
+
+@jax.jit
 def solve_lsa_batch(cost: jnp.ndarray) -> jnp.ndarray:
-    """Batched LSA: (B, n, n) -> (B, n) col4row."""
+    """Batched square LSA: (B, n, n) -> (B, n) col4row."""
     return jax.vmap(solve_lsa)(cost)
+
+
+@jax.jit
+def solve_lsa_rows_batch(cost: jnp.ndarray,
+                         num_rows: jnp.ndarray) -> jnp.ndarray:
+    """Batched rectangular LSA: (B, R, C), (B,) -> (B, R)."""
+    return jax.vmap(solve_lsa_rows)(cost, num_rows)
 
 
 def solve_lsa_scipy(cost) -> np.ndarray:
@@ -160,7 +179,8 @@ def solve_lsa_callback(cost: jnp.ndarray) -> jnp.ndarray:
     """scipy solver wrapped for use inside jit via pure_callback.
 
     cost: (B, n, n) -> (B, n).  Numerically the anchor for parity tests;
-    slower (device->host sync every step, like the reference).
+    slower (device->host sync every step, like the reference).  NOTE:
+    unsupported on tunneled TPU platforms without host callbacks.
     """
     b, n, _ = cost.shape
 
@@ -176,7 +196,9 @@ def solve_lsa_callback(cost: jnp.ndarray) -> jnp.ndarray:
 
 
 def assignment_cost(cost: jnp.ndarray, col4row: jnp.ndarray) -> jnp.ndarray:
-    """Total cost of an assignment; works batched ((..., n, n), (..., n))."""
-    return jnp.sum(
-        jnp.take_along_axis(cost, col4row[..., None].astype(jnp.int32),
-                            axis=-1)[..., 0], axis=-1)
+    """Total cost of an assignment; works batched ((..., n, n), (..., n)).
+    Rows with col4row == -1 contribute 0."""
+    safe = jnp.maximum(col4row, 0)
+    picked = jnp.take_along_axis(
+        cost, safe[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return jnp.sum(jnp.where(col4row >= 0, picked, 0.0), axis=-1)

@@ -61,6 +61,7 @@ def train_model(cfg: Config, loader: BatchLoader,
 
     best_loss = float("inf")
     best_rmse = float("inf")
+    best_params = None
 
     if cfg.train.overfit_one_batch:
         fixed = _device_batch(next(iter(loader)))
@@ -85,6 +86,9 @@ def train_model(cfg: Config, loader: BatchLoader,
 
         if epoch % cfg.train.log_every == 0 or epoch == num_epochs - 1:
             m = {k: float(v) for k, v in metrics.items()}
+            if cfg.train.save_best and m["total_loss"] < best_loss:
+                best_params = jax.tree_util.tree_map(
+                    lambda x: x.copy(), state.params)
             best_loss = min(best_loss, m["total_loss"])
             best_rmse = min(best_rmse, m["vertex_rmse"])
             elapsed = time.time() - t0
@@ -118,4 +122,11 @@ def train_model(cfg: Config, loader: BatchLoader,
 
     logger.info("Training completed! Best loss: %.6f, Best RMSE: %.6f",
                 best_loss, best_rmse)
+    if cfg.train.save_best and best_params is not None:
+        from wireframe_tpu.train.checkpoint import save_checkpoint
+
+        path = save_checkpoint(
+            cfg.train.checkpoint_dir + "/best", int(state.step),
+            best_params, None, cfg)
+        logger.info("Best-loss checkpoint written: %s", path)
     return state
