@@ -39,7 +39,7 @@ def main() -> int:
     from wireframe_tpu.train.state import create_train_state
     from wireframe_tpu.train.step import make_forward_fn, make_train_step
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     points = int(os.environ.get("BENCH_POINTS", "2560"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     iters = int(os.environ.get("BENCH_ITERS", "30"))

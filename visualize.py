@@ -31,6 +31,9 @@ def parse_args(argv=None):
                    help="comma-separated indices or 'all'")
     p.add_argument("--out-dir", default="output")
     p.add_argument("--interactive", action="store_true")
+    p.add_argument("--loss-curve", action="store_true",
+                   help="also render the training loss curves from "
+                        "<checkpoint-dir>/train_metrics.jsonl")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="KEY=VALUE")
     return p.parse_args(argv)
@@ -57,6 +60,22 @@ def main(argv=None):
 
     cfg = load_config(args.config, args.overrides)
     cfg.data.root_dir = resolve_data_root(args.data_root)
+
+    if args.loss_curve:
+        import json
+
+        from wireframe_tpu.viz import plot_training_loss
+
+        jsonl = os.path.join(args.checkpoint_dir, "train_metrics.jsonl")
+        if os.path.exists(jsonl):
+            with open(jsonl) as f:
+                history = [json.loads(line) for line in f]
+            os.makedirs(args.out_dir, exist_ok=True)
+            out = os.path.join(args.out_dir, "training_loss.png")
+            plot_training_loss(history, save_path=out)
+            print(f"loss curves -> {out}")
+        else:
+            print(f"no metrics at {jsonl}")
 
     from wireframe_tpu.train.checkpoint import apply_checkpoint_model_config
 
