@@ -93,6 +93,10 @@ class TrainConfig:
     # end (the reference tracks best but saves final — quirk 6; this is
     # the documented "add best-checkpoint option").
     save_best: bool = False
+    # Supervise edge pairs through the Hungarian matching instead of the
+    # reference's positional slot<->GT-order comparison (quirk 4).  Off by
+    # default = reference behavior.
+    matched_edge_labels: bool = False
     seed: int = 0
     # Device-side augmentation inside the jitted step (TPU-first replacement
     # for the host numpy augment at building3d.py:131-146).

@@ -134,11 +134,17 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
             continue
         samples = [dataset.get_sample(i, rng=rng, augment_on_host=False)
                    for i in chunk]
+        # Pad ragged final chunks to the full batch size (repeat the last
+        # sample) so every batch hits the SAME compiled program; padded
+        # rows are excluded from metric accumulation below.
+        n_real = len(samples)
+        while len(samples) < bs:
+            samples.append(samples[-1])
         batch = collate_fixed(samples, v)
         preds = forward_fn(params, jnp.asarray(batch["point_clouds"]), None)
-        pred_vertices = np.asarray(preds["vertices"])
-        edge_probs = np.asarray(preds["edge_probs"])
-        counts = np.asarray(preds["actual_vertex_counts"])
+        pred_vertices = np.asarray(preds["vertices"])[:n_real]
+        edge_probs = np.asarray(preds["edge_probs"])[:n_real]
+        counts = np.asarray(preds["actual_vertex_counts"])[:n_real]
 
         ap_batch = {
             "predicted_vertices": [], "predicted_edges": [],

@@ -49,6 +49,14 @@ class WireframeLossConfig:
     edge_weight: float = 1.0
     existence_weight: float = 1.5
     matcher: str = "device"  # "device" | "scipy"
+    # Reference behavior (False): edge labels indexed by GT vertex order
+    # are compared POSITIONALLY against pair probs indexed by prediction
+    # slot order (train.py:61-88 vs WireframeLoss.py:80-86, quirk 4) —
+    # only consistent when the matching happens to be the identity.
+    # True: permute the labels through the Hungarian matching each step,
+    # so pair (slot_a, slot_b) is supervised by the GT edge between the
+    # targets those slots are matched to (documented improvement).
+    matched_edge_labels: bool = False
 
 
 def smooth_l1(x: jnp.ndarray) -> jnp.ndarray:
@@ -148,9 +156,27 @@ def wireframe_loss(predictions: Dict[str, jnp.ndarray],
                         targets["vertex_existence"].astype(jnp.float32)))
 
     # ---- 3. Edge BCE (reference padded-mean semantics) --------------------
+    edge_labels = targets["edge_labels"].astype(jnp.float32)
     pair_mask = predictions["pair_mask"].astype(jnp.float32)     # (B, E)
-    edge_bce = bce_with_logits(predictions["edge_logits"],
-                               targets["edge_labels"].astype(jnp.float32))
+    if cfg.matched_edge_labels:
+        # Permute labels through the matching: supervise pair (i, j) of
+        # prediction slots with the GT edge between their matched targets.
+        from wireframe_tpu.ops.pairs import triu_pairs
+
+        e_pairs = triu_pairs(v)                                  # (E, 2)
+        adj = jnp.zeros((b, v, v), jnp.float32)
+        adj = adj.at[:, e_pairs[:, 0], e_pairs[:, 1]].set(edge_labels)
+        adj = adj + jnp.swapaxes(adj, 1, 2)
+        safe = jnp.where(matched, col4row, 0).astype(jnp.int32)  # (B, V)
+        ti = jnp.take_along_axis(safe, e_pairs[None, :, 0], axis=1)
+        tj = jnp.take_along_axis(safe, e_pairs[None, :, 1], axis=1)
+        edge_labels = adj[jnp.arange(b)[:, None], ti, tj]
+        both_matched = (
+            jnp.take_along_axis(matched, e_pairs[None, :, 0], axis=1)
+            & jnp.take_along_axis(matched, e_pairs[None, :, 1], axis=1))
+        pair_mask = both_matched.astype(jnp.float32)
+        edge_labels = edge_labels * pair_mask
+    edge_bce = bce_with_logits(predictions["edge_logits"], edge_labels)
     masked_sum = jnp.sum(edge_bce * pair_mask)
     # Denominator: B * max_b C(count_b, 2), the reference's padded width.
     max_pairs = jnp.max(counts * (counts - 1) // 2).astype(jnp.float32)

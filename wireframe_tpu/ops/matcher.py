@@ -14,7 +14,6 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from wireframe_tpu.losses.wireframe_loss import matching_cost_matrix
 from wireframe_tpu.ops.lsa import solve_lsa_batch, solve_lsa_callback
 
 
@@ -43,6 +42,9 @@ class WireframeMatcher:
             (columns >= count are dummies).
           matched: (B, V) bool — pred slot is matched to a REAL target.
         """
+        # Imported here: losses depends on ops (lsa), not vice versa.
+        from wireframe_tpu.losses.wireframe_loss import matching_cost_matrix
+
         cost = matching_cost_matrix(
             pred_vertices, pred_existence, target_vertices, vertex_counts)
         if self.backend == "scipy":

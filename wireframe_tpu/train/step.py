@@ -56,6 +56,7 @@ def make_train_step(cfg: Config) -> Callable:
         edge_weight=cfg.train.edge_weight,
         existence_weight=cfg.train.existence_weight,
         matcher=cfg.train.matcher,
+        matched_edge_labels=cfg.train.matched_edge_labels,
     )
     do_augment = cfg.train.device_augment and cfg.data.augment
 
