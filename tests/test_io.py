@@ -39,11 +39,17 @@ def test_xyz_parser_matches_loadtxt(tmp_path, rng):
 
 def test_select_features_all_channels(rng):
     pc = rng.uniform(0, 255, size=(10, 8))
-    out = select_features(pc, use_color=True, use_intensity=True)
+    # strict reference parity mode: intensity unscaled (quirk 3)
+    out = select_features(pc, use_color=True, use_intensity=True,
+                          scale_intensity=False)
     assert out.shape == (10, 8)
     np.testing.assert_allclose(out[:, :3], pc[:, :3])
     np.testing.assert_allclose(out[:, 3:7], pc[:, 3:7] / 256.0)
-    np.testing.assert_allclose(out[:, 7], pc[:, 7])  # intensity unscaled
+    np.testing.assert_allclose(out[:, 7], pc[:, 7])
+    # framework default: 16-bit scaling
+    out2 = select_features(pc, use_color=True, use_intensity=True,
+                           scale_intensity=True)
+    np.testing.assert_allclose(out2[:, 7], pc[:, 7] / 65536.0)
 
 
 def test_select_features_intensity_only(rng):

@@ -25,6 +25,10 @@ class DataConfig:
     use_color: bool = True
     use_intensity: bool = True
     normalize: bool = True
+    # Scale the raw ~46-48k intensity column by 2^16.  The reference
+    # leaves it unscaled (quirk 3), which drowns the unit-sphere geometry
+    # channels at the first layer; set False for strict numeric parity.
+    scale_intensity: bool = True
     augment: bool = True
     # TPU additions: fixed-shape padding targets.
     max_vertices: int = 64          # vertex slots (reference derives from batch)

@@ -81,7 +81,8 @@ class Building3DDataset:
             return self._cache[index]
         cfg = self.cfg
         pc = read_xyz(self.pc_files[index])
-        point_cloud = select_features(pc, cfg.use_color, cfg.use_intensity)
+        point_cloud = select_features(pc, cfg.use_color, cfg.use_intensity,
+                                      scale_intensity=cfg.scale_intensity)
         wf_vertices, wf_edges = load_wireframe(self.wf_files[index])
         wf_vertices = wf_vertices.copy()
 

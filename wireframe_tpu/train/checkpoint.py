@@ -70,9 +70,18 @@ def load_checkpoint(directory: str, step: Optional[int] = None,
         if step is None:
             raise FileNotFoundError(f"No checkpoints under {directory}")
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
-    payload = ckptr.restore(path, template) if template is not None \
-        else ckptr.restore(path)
+    if template is not None:
+        payload = ocp.StandardCheckpointer().restore(path, template)
+    else:
+        # Device-agnostic restore: a checkpoint written on TPU must load
+        # on CPU (and vice versa).  The default restore pins the arrays
+        # to the SAVED device sharding; force plain numpy instead.
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path)
+        tree = getattr(meta, "item_metadata", meta)
+        restore_args = jax.tree_util.tree_map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        payload = ckptr.restore(path, restore_args=restore_args)
     meta_path = path + ".meta.json"
     meta = {}
     if os.path.exists(meta_path):
@@ -99,6 +108,14 @@ def apply_checkpoint_model_config(cfg: Config, meta: dict) -> Config:
     elif meta.get("max_vertices"):
         cfg.data.max_vertices = int(meta["max_vertices"])
         cfg.model.max_vertices = cfg.data.max_vertices
+    # Input-feature semantics must match training exactly or the restored
+    # weights see a different input distribution.
+    saved_data = meta.get("config", {}).get("data", {})
+    for key in ("use_color", "use_intensity", "scale_intensity",
+                "normalize"):
+        if key in saved_data:
+            setattr(cfg.data, key, saved_data[key])
+    cfg.__post_init__()
     return cfg
 
 
