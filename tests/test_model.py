@@ -54,18 +54,15 @@ def test_output_shapes(small_cfg, model_and_params, rng):
 
 
 def test_point_padding_invariance(small_cfg, model_and_params, rng):
-    """Appending zero point rows must not change any output (masked
-    pooling property, end to end through the model)."""
+    """Appending zero point rows must not change ANY output — the whole
+    model consumes only masked pools (the reference's unmasked vertex-head
+    pooling coincides with masked pooling on its never-padded inputs), so
+    bucketed zero-padded inference is exactly equivalent."""
     model, params = model_and_params
     x = rng.normal(size=(1, 48, 8)).astype(np.float32)
     xp = np.concatenate([x, np.zeros((1, 16, 8), np.float32)], axis=1)
     counts = jnp.array([5], jnp.int32)
 
-    # NOTE: the unmasked mean/max pooled stats consumed by the vertex head
-    # DO see padding (reference parity: VertexPredictor.py:86-87 pools
-    # unmasked).  So full-model padding invariance holds only when those
-    # pools are computed over the same rows; here we check the masked
-    # encoder path (global features) instead.
     out_a = model.apply({"params": params}, jnp.asarray(x), counts,
                         train=False)
     out_b = model.apply({"params": params}, jnp.asarray(xp), counts,
@@ -73,6 +70,16 @@ def test_point_padding_invariance(small_cfg, model_and_params, rng):
     np.testing.assert_allclose(np.asarray(out_a["global_features"]),
                                np.asarray(out_b["global_features"]),
                                rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_a["vertices"]),
+                               np.asarray(out_b["vertices"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_a["existence_probabilities"]),
+        np.asarray(out_b["existence_probabilities"]),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_a["edge_probs"]),
+                               np.asarray(out_b["edge_probs"]),
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_train_branch_uses_gt_counts(small_cfg, model_and_params, rng):

@@ -158,11 +158,21 @@ def _apply_overrides(obj: Any, flat: dict) -> None:
         elif isinstance(current, float):
             value = float(value)
         elif isinstance(current, tuple):
+            elem = type(current[0]) if current else int
             if isinstance(value, str):
-                value = tuple(int(v) for v in value.split(","))
+                value = tuple(elem(v) for v in value.split(","))
             else:
                 value = tuple(value)
         setattr(target, leaf, value)
+        # model.max_vertices / model.input_dim are derived from the data
+        # section in __post_init__; forward explicit model-side overrides
+        # to their source of truth instead of silently clobbering them.
+        if key == "model.max_vertices":
+            obj.data.max_vertices = int(value)
+        if key == "model.input_dim":
+            raise KeyError(
+                "model.input_dim is derived from data.use_color/"
+                "use_intensity; override those instead")
 
 
 def load_config(yaml_path: Optional[str] = None,

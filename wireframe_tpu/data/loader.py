@@ -4,6 +4,12 @@ Replaces torch DataLoader(batch_size=3, shuffle=True, drop_last=True,
 collate_fn=collate_batch) from main.py:42-48.  Host work (parse, sample,
 collate) runs in a worker thread one batch ahead of the consumer so the
 accelerator never waits on ingest.
+
+Determinism: every epoch's shuffle order and per-sample RNG derive from
+(seed, epoch_index), so a resumed run (`loader.epoch = start_epoch`)
+replays exactly the data order the uninterrupted run would have used.
+Worker exceptions propagate to the consumer (a corrupt file fails the
+epoch loudly instead of silently truncating it).
 """
 
 from __future__ import annotations
@@ -30,7 +36,8 @@ class BatchLoader:
         self.drop_last = drop_last
         self.augment_on_host = augment_on_host
         self.prefetch = prefetch
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0  # next epoch index; set before iterating to resume
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -38,22 +45,25 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _epoch_indices(self) -> np.ndarray:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            self._rng.shuffle(idx)
-        return idx
+    def _epoch_rng(self, epoch: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch]))
 
-    def _make_batch(self, indices) -> dict:
+    def _make_batch(self, indices, rng) -> dict:
         samples = [
             self.dataset.get_sample(
-                int(i), rng=self._rng, augment_on_host=self.augment_on_host)
+                int(i), rng=rng, augment_on_host=self.augment_on_host)
             for i in indices
         ]
         return collate_fixed(samples, self.max_vertices)
 
     def __iter__(self) -> Iterator[dict]:
-        indices = self._epoch_indices()
+        epoch = self.epoch
+        self.epoch += 1
+        rng = self._epoch_rng(epoch)
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(indices)
         bs = self.batch_size
         batches = [indices[k:k + bs] for k in range(0, len(indices), bs)]
         if self.drop_last:
@@ -61,7 +71,7 @@ class BatchLoader:
 
         if self.prefetch <= 0:
             for bi in batches:
-                yield self._make_batch(bi)
+                yield self._make_batch(bi, rng)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -70,9 +80,10 @@ class BatchLoader:
         def worker():
             try:
                 for bi in batches:
-                    q.put(self._make_batch(bi))
-            finally:
+                    q.put(self._make_batch(bi, rng))
                 q.put(sentinel)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -80,4 +91,6 @@ class BatchLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -111,7 +111,11 @@ def wireframe_loss(predictions: Dict[str, jnp.ndarray],
 
     # ---- 1. Hungarian-matched vertex loss --------------------------------
     if cfg.matcher == "scipy":
-        cost = matching_cost_matrix(pred_v, pred_p, tgt_v, counts)
+        # stop_gradient mirrors the reference's .detach() before scipy
+        # (WireframeLoss.py:235) and is REQUIRED: pure_callback has no JVP
+        # rule, so an undetached cost would break value_and_grad.
+        cost = jax.lax.stop_gradient(
+            matching_cost_matrix(pred_v, pred_p, tgt_v, counts))
         col4row = solve_lsa_callback(cost)
     else:
         # Rectangular reduction of the square padded problem: with dummy
@@ -125,7 +129,8 @@ def wireframe_loss(predictions: Dict[str, jnp.ndarray],
             axis=-1)                                    # (B, Vpred, Vtgt)
         cost_t = jnp.transpose(l1, (0, 2, 1)) + (
             2.0 - 2.0 * pred_p)[:, None, :]             # (B, Vtgt, Vpred)
-        slot4target = solve_lsa_rows_batch(cost_t, counts)   # (B, V)
+        cost_t = jax.lax.stop_gradient(cost_t)          # matching is
+        slot4target = solve_lsa_rows_batch(cost_t, counts)   # non-diff'able
 
         # Invert target->slot into the square-problem convention
         # (col4row[b, i] = target index matched to pred slot i, or a

@@ -116,12 +116,11 @@ class APCalculator:
                 distances += float(np.sum(
                     np.min(_cdist(pr_unique, gt_unique), axis=1)))
 
-            # 4. WED on the reference's GT-derived submission: positive
-            #    predicted edges are snapped onto their matched GT edges,
-            #    and the submission wireframe is built from the GT edge
-            #    vertex set (ap_calculator.py:236-242).
-            pev = pred_edges_vertices.copy()
-            pev[pi[edge_mask]] = label_edges_vertices[li[edge_mask]]
+            # 4. WED on the reference's GT-derived submission: the
+            #    submission wireframe is built from the GT edge vertex set
+            #    (ap_calculator.py:236-242; its snapping of matched
+            #    predicted edges there is dead — the snapped array is
+            #    never consumed — so it is not reproduced here).
             submission_corners = np.unique(
                 label_edges_vertices.reshape(-1, 3), axis=0)
             submission_edges = compute_edge_indices(

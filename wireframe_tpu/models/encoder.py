@@ -97,7 +97,8 @@ class PointNetEncoder(nn.Module):
             pooled = fused_point_encoder(
                 x.astype(jnp.float32), stage_params, final_w, final_b,
                 tile=self.pallas_tile,
-                return_point_features=self.return_point_features)
+                return_point_features=self.return_point_features,
+                compute_dtype=self.dtype)
             point_features = pooled.pop("point_features", None)
         else:
             # Validity mask from the RAW input (PointNetEncoder.py:85):

@@ -44,17 +44,23 @@ class VertexPredictor(nn.Module):
         """
         Args:
           global_features: (B, global_feature_dim)
-          pooled_point_feats: dict with "mean"/"max" pooled point features
-            (each (B, C)); pass the encoder's pooled_stats.  The reference
+          pooled_point_feats: dict with pooled point features (each
+            (B, C)); pass the encoder's pooled_stats.  The reference
             pools the full point-feature tensor here with an UNMASKED
-            mean/max (VertexPredictor.py:86-87) — consuming pre-pooled
-            stats instead avoids ever materializing (B, N, C) in HBM.
+            mean/max (VertexPredictor.py:86-87); its inputs are never
+            padded, so masked and unmasked pooling coincide there.  We
+            consume the MASKED pools, which preserves that behavior on
+            unpadded clouds AND keeps bucketed zero-padded inference
+            padding-invariant (padding rows' post-MLP features are
+            nonzero and would otherwise dilute the mean).  Consuming
+            pre-pooled stats also avoids materializing (B, N, C) in HBM.
         Returns dict: vertices (B, V, 3), existence_logits (B, V),
           existence_probabilities (B, V), actual_vertex_counts (B,).
         """
         g = global_features.astype(self.dtype)
         pooled = jnp.concatenate(
-            [pooled_point_feats["mean"], pooled_point_feats["max"]],
+            [pooled_point_feats["masked_mean"],
+             pooled_point_feats["masked_max"]],
             axis=-1).astype(self.dtype)  # (B, 2C)
         point_global = nn.Dense(self.global_feature_dim, dtype=self.dtype,
                                 name="point_pool_proj")(pooled)

@@ -34,8 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = 1e9
-
 
 def _augment_row(cost, u, v, col4row, row4col, cur_row):
     """One augmentation starting from row `cur_row`.

@@ -73,7 +73,8 @@ def fused_point_encoder(x: jnp.ndarray,
                         final_w: jnp.ndarray, final_b: jnp.ndarray,
                         *, tile: int = 256,
                         return_point_features: bool = False,
-                        interpret: bool = None):
+                        interpret: bool = None,
+                        compute_dtype=jnp.bfloat16):
     """Run the fused kernel.
 
     Args:
@@ -108,11 +109,12 @@ def fused_point_encoder(x: jnp.ndarray,
         return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    cdt = compute_dtype
     for (w, bb, g, be) in stage_params:
-        for p in (w.astype(jnp.bfloat16), row2d(bb), row2d(g), row2d(be)):
+        for p in (w.astype(cdt), row2d(bb), row2d(g), row2d(be)):
             flat_params.append(p)
             in_specs.append(const_spec(p.shape))
-    flat_params.append(final_w.astype(jnp.bfloat16))
+    flat_params.append(final_w.astype(cdt))
     in_specs.append(const_spec(final_w.shape))
     flat_params.append(row2d(final_b))
     in_specs.append(const_spec(flat_params[-1].shape))
@@ -147,12 +149,12 @@ def fused_point_encoder(x: jnp.ndarray,
         mask = jnp.abs(jnp.sum(xt, axis=-1)) > 1e-9         # (T,)
         mask_f = mask.astype(jnp.float32)[:, None]
 
-        h = xt.astype(jnp.bfloat16)
+        h = xt.astype(cdt)
         for w_ref, b_ref, g_ref, be_ref in stage_refs:
             h = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
             h = h + b_ref[0]
             h = _ln(h, g_ref[0], be_ref[0])
-            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+            h = jnp.maximum(h, 0.0).astype(cdt)
         feats = jnp.dot(h, fw_ref[:], preferred_element_type=jnp.float32)
         feats = feats + fb_ref[0]                           # (T, C) f32
 

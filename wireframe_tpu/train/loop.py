@@ -44,8 +44,14 @@ def train_model(cfg: Config, loader: BatchLoader,
 
     Fault tolerance the reference lacks (SURVEY.md §5): a checkpoint is
     written every `checkpoint_every` epochs, and passing a restored
-    `state` + `start_epoch` resumes deterministically (the data order is
-    re-seeded per epoch index).
+    `state` + `start_epoch` resumes deterministically (the loader's
+    per-epoch RNG derives from (seed, epoch), and its epoch counter is
+    fast-forwarded to start_epoch below).
+
+    NOTE on best tracking: metrics are read back from device only at log
+    points (per-epoch reads would stall the dispatch pipeline), so
+    best_loss/best_rmse and the save_best snapshot are log_every-granular;
+    set log_every=1 for the reference's every-epoch tracking.
     """
     rng = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), start_epoch)
     rng, init_rng = jax.random.split(rng)
@@ -63,6 +69,12 @@ def train_model(cfg: Config, loader: BatchLoader,
     best_rmse = float("inf")
     best_params = None
 
+    if len(loader) == 0:
+        raise ValueError(
+            f"loader yields no batches: {len(loader.dataset)} samples with "
+            f"batch_size={loader.batch_size}, drop_last={loader.drop_last}")
+
+    loader.epoch = start_epoch  # deterministic data order on resume
     if cfg.train.overfit_one_batch:
         fixed = _device_batch(next(iter(loader)))
         batches = None

@@ -14,9 +14,14 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+import sys
+
 import matplotlib
 
-matplotlib.use("Agg")
+# Default to the headless Agg backend, but don't stomp on a backend the
+# host program (e.g. a notebook) already initialized.
+if "matplotlib.pyplot" not in sys.modules:
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 from mpl_toolkits.mplot3d import Axes3D  # noqa: F401,E402
 
