@@ -67,6 +67,7 @@ class ModelConfig:
     # TPU knobs
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     use_pallas_encoder: bool = False  # fused Pallas point-MLP+pool kernel
+    pallas_tile: int = 512            # points per kernel grid step
     return_point_features: bool = False  # skip (B,N,512) HBM write when False
 
 

@@ -71,7 +71,10 @@ class PointNetEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     return_point_features: bool = False
     use_pallas: bool = False
-    pallas_tile: int = 256
+    # 512 measured fastest on v5e at N=2560 (tile sweep: 128 -> 2666,
+    # 256 -> 5763, 512 -> 6015 clouds/s encoder-only at B=128); N must
+    # divide by the tile or the encoder falls back to the XLA path.
+    pallas_tile: int = 512
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):

@@ -52,6 +52,7 @@ class PointCloudToWireframe(nn.Module):
             # The fused kernel has no autodiff rule; training takes the
             # XLA path (same params), inference takes the kernel.
             use_pallas=cfg.use_pallas_encoder and not train,
+            pallas_tile=cfg.pallas_tile,
             name="encoder",
         )
         global_features, pooled, point_features = encoder(point_cloud)
