@@ -52,24 +52,18 @@ def small_cfg(corpus, ckdir):
     return cfg
 
 
-def test_periodic_checkpoint_written(tmp_path, corpus):
-    ckdir = str(tmp_path / "ck")
-    cfg = small_cfg(corpus, ckdir)
-    ds = Building3DDataset(cfg.data, "train")
-    loader = BatchLoader(ds, 2, cfg.model.max_vertices, seed=0,
-                         augment_on_host=False, prefetch=0)
-    train_model(cfg, loader)
-    # checkpoint_every=3 with 6 epochs -> a mid-run checkpoint at epoch 3
-    assert latest_step(ckdir) == 3
-
-
-def test_resume_restores_and_continues(tmp_path, corpus):
+def test_periodic_checkpoint_and_resume(tmp_path, corpus):
+    """One training run covers both: the mid-run checkpoint is written,
+    and a second run restored from it continues (single compile budget
+    shared across the two assertions)."""
     ckdir = str(tmp_path / "ck")
     cfg = small_cfg(corpus, ckdir)
     ds = Building3DDataset(cfg.data, "train")
     loader = BatchLoader(ds, 2, cfg.model.max_vertices, seed=0,
                          augment_on_host=False, prefetch=0)
     state = train_model(cfg, loader)
+    # checkpoint_every=3 with 6 epochs -> a mid-run checkpoint at epoch 3
+    assert latest_step(ckdir) == 3
 
     template = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                                   (2, 128, 8))

@@ -53,6 +53,11 @@ def train_model(cfg: Config, loader: BatchLoader,
     best_loss/best_rmse and the save_best snapshot are log_every-granular;
     set log_every=1 for the reference's every-epoch tracking.
     """
+    if len(loader) == 0:
+        raise ValueError(
+            f"loader yields no batches: {len(loader.dataset)} samples with "
+            f"batch_size={loader.batch_size}, drop_last={loader.drop_last}")
+
     rng = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), start_epoch)
     rng, init_rng = jax.random.split(rng)
 
@@ -68,11 +73,6 @@ def train_model(cfg: Config, loader: BatchLoader,
     best_loss = float("inf")
     best_rmse = float("inf")
     best_params = None
-
-    if len(loader) == 0:
-        raise ValueError(
-            f"loader yields no batches: {len(loader.dataset)} samples with "
-            f"batch_size={loader.batch_size}, drop_last={loader.drop_last}")
 
     loader.epoch = start_epoch  # deterministic data order on resume
     if cfg.train.overfit_one_batch:
