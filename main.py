@@ -113,14 +113,21 @@ def main(argv=None):
                 step=jax.numpy.asarray(meta.get("step", 0)),
                 params=payload["params"],
                 opt_state=payload["opt_state"])
-            start_epoch = int(meta.get("step", 0))
-            print(f"Resuming from epoch {start_epoch}")
+            # 'epoch' (completed epochs) is the resume point; 'step' is
+            # the optimizer step and differs whenever an epoch has more
+            # than one batch.  Old checkpoints without 'epoch' fall back
+            # to 'step' (correct for the overfit-one-batch regime they
+            # were written under).
+            start_epoch = int(meta.get("epoch", meta.get("step", 0)))
+            print(f"Resuming from epoch {start_epoch} "
+                  f"(optimizer step {int(meta.get('step', 0))})")
 
     state = train_model(cfg, loader, metric_writer=writer, state=state,
                         start_epoch=start_epoch)
 
     path = save_checkpoint(args.checkpoint_dir, int(state.step),
-                           state.params, state.opt_state, cfg)
+                           state.params, state.opt_state, cfg,
+                           epoch=max(start_epoch, cfg.train.num_epochs))
     print(f"✓ checkpoint saved: {path}")
     if run is not None:
         # Cross-script linkage the reference maintains (main.py:57-61).

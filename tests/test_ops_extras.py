@@ -74,4 +74,26 @@ def test_native_parser_scientific_and_irregular(tmp_path):
     with open(path, "w") as f:
         f.write("1 2 3\n4 5\n")
     got2 = parse_xyz_native(path)
-    assert got2 is None or got2.size == 5  # must not crash
+    assert got2 is None
+
+
+def test_native_parser_rejects_compensating_ragged_rows(tmp_path):
+    """A short row followed by a long one keeps total%cols==0; the
+    per-line field check must still reject it (ADVICE r1: otherwise every
+    subsequent value silently shifts a column)."""
+    from wireframe_tpu.io.native import parse_xyz_native
+
+    path = str(tmp_path / "x.xyz")
+    with open(path, "w") as f:
+        f.write("1 2 3\n4 5\n6 7 8 9\n")  # 3, 2, 4 fields: total 9 = 3*3
+    assert parse_xyz_native(path) is None
+    # Ragged final line without trailing newline is also rejected.
+    with open(path, "w") as f:
+        f.write("1 2 3\n4 5 6 7")
+    assert parse_xyz_native(path) is None
+    # Trailing blank lines / CRLF endings stay accepted.
+    with open(path, "w") as f:
+        f.write("1 2 3\r\n4 5 6\r\n\n")
+    got = parse_xyz_native(path)
+    assert got is not None
+    np.testing.assert_allclose(got, [[1, 2, 3], [4, 5, 6]])

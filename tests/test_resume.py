@@ -47,7 +47,10 @@ def small_cfg(corpus, ckdir):
     cfg.train.log_every = 2
     cfg.train.checkpoint_every = 3
     cfg.train.checkpoint_dir = ckdir
-    cfg.train.overfit_one_batch = True
+    # Full-corpus mode: 4 samples / batch 2 -> 2 optimizer steps per
+    # epoch, so epoch and step units DIFFER — the regime where resume
+    # must read meta['epoch'], not meta['step'] (ADVICE r1, main.py:116).
+    cfg.train.overfit_one_batch = False
     cfg.__post_init__()
     return cfg
 
@@ -62,20 +65,28 @@ def test_periodic_checkpoint_and_resume(tmp_path, corpus):
     loader = BatchLoader(ds, 2, cfg.model.max_vertices, seed=0,
                          augment_on_host=False, prefetch=0)
     state = train_model(cfg, loader)
-    # checkpoint_every=3 with 6 epochs -> a mid-run checkpoint at epoch 3
-    assert latest_step(ckdir) == 3
+    # checkpoint_every=3 with 6 epochs -> one mid-run checkpoint after
+    # epoch 3, i.e. optimizer step 6 (2 batches/epoch).  Directory names
+    # use the optimizer step (monotonic across mid-run + final saves);
+    # the completed-epoch count rides in metadata.
+    assert latest_step(ckdir) == 6
+    assert int(state.step) == 12  # 6 epochs x 2 batches
 
     template = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                                   (2, 128, 8))
     # The template restores optax NamedTuple structure (orbax would
     # otherwise return plain dicts that Adam can't consume).
     payload, meta = load_checkpoint(
-        ckdir, 3, template={"params": template.params,
+        ckdir, 6, template={"params": template.params,
                             "opt_state": template.opt_state})
+    assert meta["step"] == 6 and meta["epoch"] == 3
+    # main.py's resume rule: completed epochs from meta['epoch'].
+    start_epoch = int(meta.get("epoch", meta.get("step", 0)))
+    assert start_epoch == 3
     resumed = template.replace(params=payload["params"],
                                opt_state=payload["opt_state"])
     # Continue from epoch 3 for the remaining 3 epochs.
-    final = train_model(cfg, loader, state=resumed, start_epoch=3)
+    final = train_model(cfg, loader, state=resumed, start_epoch=start_epoch)
     # Both runs completed 6 total epochs of updates; parameters stay
     # finite and the resumed state is not the initial one.
     a = jax.tree_util.tree_leaves(final.params)

@@ -9,9 +9,9 @@
 //   parse_xyz(path, &data, &rows, &cols) -> 0 on success
 //     data: malloc'd row-major double buffer of rows*cols — caller frees
 //           via free_xyz_buffer.
-//   Column count is inferred from the first non-empty line; rows with a
-//   different field count abort with a nonzero code (caller falls back
-//   to the robust Python parser).
+//   Column count is inferred from the first non-empty line; any line
+//   with a different field count aborts with a nonzero code (caller
+//   falls back to the robust Python parser).
 
 #include <cstdio>
 #include <cstdlib>
@@ -66,21 +66,47 @@ int parse_xyz(const char* path, double** out_data, long* out_rows,
         std::malloc(sizeof(double) * max_rows * cols));
     if (!data) { std::free(buf); return 2; }
 
+    // Single strtod pass.  Line boundaries are tracked explicitly (strtod
+    // would otherwise eat newlines as leading whitespace): any non-empty
+    // line whose field count differs from the inferred `cols` aborts —
+    // compensating ragged rows (7 then 9 fields) must NOT silently shift
+    // values into the wrong row/column.
     char* p = buf;
     char* end = buf + size;
-    long n = 0;  // total values parsed
+    long n = 0;            // total values parsed
+    long line_fields = 0;  // fields on the current line
     while (p < end) {
+        char c = *p;
+        if (c == '\n') {
+            if (line_fields != 0 && line_fields != cols) {
+                std::free(buf);
+                std::free(data);
+                return 7;
+            }
+            line_fields = 0;
+            ++p;
+            continue;
+        }
+        if (c == ' ' || c == '\t' || c == '\r') {
+            ++p;
+            continue;
+        }
         char* next = nullptr;
         double v = std::strtod(p, &next);
-        if (next == p) {  // no number here: skip one char (ws / junk)
+        if (next == p) {  // junk token: skip one char
             ++p;
             continue;
         }
         if (n >= max_rows * cols) { std::free(buf); std::free(data); return 5; }
         data[n++] = v;
+        ++line_fields;
         p = next;
     }
     std::free(buf);
+    if (line_fields != 0 && line_fields != cols) {  // last line, no '\n'
+        std::free(data);
+        return 7;
+    }
 
     if (n == 0 || n % cols != 0) { std::free(data); return 6; }
     *out_data = data;

@@ -23,8 +23,16 @@ from wireframe_tpu.config import Config, config_to_dict
 
 def save_checkpoint(directory: str, step: int, params: Any,
                     opt_state: Any = None,
-                    cfg: Optional[Config] = None) -> str:
-    """Write checkpoint `directory/step_<N>`; returns the path."""
+                    cfg: Optional[Config] = None,
+                    epoch: Optional[int] = None) -> str:
+    """Write checkpoint `directory/step_<N>`; returns the path.
+
+    `step` is always the OPTIMIZER step (monotonic across mid-run and
+    final saves, so `latest_step` ordering is correct); `epoch` is the
+    completed-epoch count, stamped separately in metadata because the two
+    units differ whenever an epoch has more than one batch — resume must
+    use `meta["epoch"]`, never `step` (ADVICE r1, main.py:116).
+    """
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step}")
@@ -35,6 +43,8 @@ def save_checkpoint(directory: str, step: int, params: Any,
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     meta = {"step": int(step)}
+    if epoch is not None:
+        meta["epoch"] = int(epoch)
     if cfg is not None:
         meta["config"] = config_to_dict(cfg)
         meta["max_vertices"] = cfg.model.max_vertices

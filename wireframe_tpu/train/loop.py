@@ -91,16 +91,27 @@ def train_model(cfg: Config, loader: BatchLoader,
         else:
             epoch_batches = (_device_batch(b) for b in batches)
 
+        is_log_epoch = (epoch % cfg.train.log_every == 0
+                        or epoch == num_epochs - 1)
+        pre_params = None
         for batch in epoch_batches:
+            if is_log_epoch and cfg.train.save_best:
+                # The step's metrics are computed with the PRE-update
+                # params (value_and_grad), so the best snapshot must be
+                # those params, not the post-update ones (ADVICE r1).
+                # Copy because donate_argnums=(0,) invalidates the
+                # originals inside train_step.
+                pre_params = jax.tree_util.tree_map(
+                    lambda x: x.copy(), state.params)
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
             step_count += 1
 
-        if epoch % cfg.train.log_every == 0 or epoch == num_epochs - 1:
+        if is_log_epoch:
             m = {k: float(v) for k, v in metrics.items()}
-            if cfg.train.save_best and m["total_loss"] < best_loss:
-                best_params = jax.tree_util.tree_map(
-                    lambda x: x.copy(), state.params)
+            if (cfg.train.save_best and pre_params is not None
+                    and m["total_loss"] < best_loss):
+                best_params = pre_params
             best_loss = min(best_loss, m["total_loss"])
             best_rmse = min(best_rmse, m["vertex_rmse"])
             elapsed = time.time() - t0
@@ -128,8 +139,9 @@ def train_model(cfg: Config, loader: BatchLoader,
                 and epoch < num_epochs):
             from wireframe_tpu.train.checkpoint import save_checkpoint
 
-            path = save_checkpoint(cfg.train.checkpoint_dir, epoch,
-                                   state.params, state.opt_state, cfg)
+            path = save_checkpoint(cfg.train.checkpoint_dir,
+                                   int(state.step), state.params,
+                                   state.opt_state, cfg, epoch=epoch)
             logger.info("Checkpoint written: %s", path)
 
     logger.info("Training completed! Best loss: %.6f, Best RMSE: %.6f",
@@ -139,6 +151,6 @@ def train_model(cfg: Config, loader: BatchLoader,
 
         path = save_checkpoint(
             cfg.train.checkpoint_dir + "/best", int(state.step),
-            best_params, None, cfg)
+            best_params, None, cfg, epoch=epoch)
         logger.info("Best-loss checkpoint written: %s", path)
     return state
