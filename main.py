@@ -104,7 +104,9 @@ def main(argv=None):
             template_state = create_train_state(
                 cfg, jax.random.PRNGKey(cfg.train.seed),
                 (cfg.train.batch_size, cfg.data.num_points,
-                 cfg.model.input_dim))
+                 cfg.model.input_dim),
+                steps_per_epoch=(1 if cfg.train.overfit_one_batch
+                                 else len(loader)))
             payload, meta = load_checkpoint(
                 args.checkpoint_dir,
                 template={"params": template_state.params,

@@ -71,18 +71,33 @@ def main(argv=None):
         verts = np.asarray(preds["vertices"])
         probs = np.asarray(preds["edge_probs"])
         counts = np.asarray(preds["actual_vertex_counts"])
+        existence = np.asarray(preds["existence_probabilities"])
 
         for j, i in enumerate(idxs):
-            dec = decode_predictions(
-                verts[j], probs[j], int(counts[j]), v,
-                cfg.eval.edge_confidence_thresh)
-            c = int(counts[j])
-            out_verts = dec["vertices"][:c]
+            if cfg.model.slot_mask_mode == "existence":
+                # Live slots are scattered: emit them compacted, with
+                # edges re-indexed into the compacted vertex list.
+                live = existence[j] > cfg.eval.vertex_existence_thresh
+                dec = decode_predictions(
+                    verts[j], probs[j], int(counts[j]), v,
+                    cfg.eval.edge_confidence_thresh, live_mask=live)
+                live_idx = np.nonzero(live)[0]
+                remap = -np.ones(v, dtype=np.int64)
+                remap[live_idx] = np.arange(len(live_idx))
+                out_verts = dec["vertices"][live_idx]
+                edges = remap[dec["edges"]]  # endpoints live by decode
+                c = len(live_idx)
+            else:
+                dec = decode_predictions(
+                    verts[j], probs[j], int(counts[j]), v,
+                    cfg.eval.edge_confidence_thresh)
+                c = int(counts[j])
+                out_verts = dec["vertices"][:c]
+                # Keep only edges among emitted vertices (indices < c).
+                edges = dec["edges"][(dec["edges"] < c).all(axis=1)]
             # De-normalize back to the original UTM frame.
             out_verts = (out_verts * batch["max_distance"][j]
                          + batch["centroid"][j])
-            # Keep only edges among emitted vertices (indices < c).
-            edges = dec["edges"][(dec["edges"] < c).all(axis=1)]
             name = f"{batch['scan_idx'][j]}.obj"
             save_wireframe(out_verts, edges, os.path.join(args.out_dir, name))
             print(f"{name}: {c} vertices, {len(edges)} edges")

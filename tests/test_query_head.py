@@ -1,0 +1,211 @@
+"""Query-based vertex decoder, existence slot-mask mode, matched
+existence labels, and the LR schedule (the round-2 anti-collapse stack)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wireframe_tpu.config import Config
+from wireframe_tpu.losses.wireframe_loss import (
+    WireframeLossConfig,
+    wireframe_loss,
+)
+from wireframe_tpu.models.wireframe import PointCloudToWireframe
+from wireframe_tpu.ops.pairs import (
+    num_pairs,
+    pairs_from_slot_mask,
+    triu_pairs_np,
+)
+
+
+def small_query_cfg(v=8, n=64):
+    cfg = Config()
+    cfg.data.num_points = n
+    cfg.data.max_vertices = v
+    cfg.model.encoder_hidden_dims = (32,)
+    cfg.model.encoder_output_dim = 32
+    cfg.model.edge_hidden_dim = 32
+    cfg.model.edge_num_heads = 2
+    cfg.model.vertex_head = "query"
+    cfg.model.decoder_dim = 32
+    cfg.model.decoder_layers = 2
+    cfg.model.decoder_heads = 2
+    cfg.model.decoder_ffn_dim = 64
+    cfg.model.edge_use_slot_features = True
+    cfg.model.slot_mask_mode = "existence"
+    cfg.__post_init__()
+    return cfg
+
+
+def init_model(cfg, b=2):
+    model = PointCloudToWireframe(cfg.model)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(b, cfg.data.num_points, cfg.model.input_dim)), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, None,
+                        train=False)["params"]
+    return model, params, x
+
+
+def test_query_head_forward_shapes_and_masks():
+    cfg = small_query_cfg()
+    v, e = cfg.model.max_vertices, num_pairs(cfg.model.max_vertices)
+    model, params, x = init_model(cfg)
+    out = model.apply({"params": params}, x, None, train=False)
+    b = x.shape[0]
+    assert out["vertices"].shape == (b, v, 3)
+    assert out["existence_probabilities"].shape == (b, v)
+    assert out["edge_probs"].shape == (b, e)
+    assert out["slot_mask"].shape == (b, v)
+    for k in ("vertices", "existence_probabilities", "edge_probs"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    # Existence mode: slot mask IS the thresholded existence, pair mask
+    # requires both endpoints live, probs zeroed outside it.
+    live = np.asarray(out["existence_probabilities"]) > 0.5
+    np.testing.assert_array_equal(np.asarray(out["slot_mask"]), live)
+    pairs = triu_pairs_np(v)
+    want_pair = live[:, pairs[:, 0]] & live[:, pairs[:, 1]]
+    np.testing.assert_array_equal(np.asarray(out["pair_mask"]), want_pair)
+    probs = np.asarray(out["edge_probs"])
+    assert (probs[~want_pair] == 0).all()
+
+
+def test_query_head_is_input_sensitive():
+    """The collapse probe: different clouds MUST map to different vertex
+    sets through the cross-attention path (QUALITY.md §3)."""
+    cfg = small_query_cfg()
+    model, params, x = init_model(cfg, b=2)
+    out = model.apply({"params": params}, x, None, train=False)
+    va, vb = np.asarray(out["vertices"][0]), np.asarray(out["vertices"][1])
+    assert not np.allclose(va, vb, atol=1e-4)
+
+
+def test_query_head_padding_invariance():
+    """Zero-padding points must not change predictions (cross-attention
+    key mask correctness)."""
+    cfg = small_query_cfg(n=64)
+    model, params, _ = init_model(cfg)
+    rng = np.random.default_rng(3)
+    real = rng.normal(size=(1, 48, cfg.model.input_dim)).astype(np.float32)
+    short = np.concatenate(
+        [real, np.zeros((1, 16, cfg.model.input_dim), np.float32)], axis=1)
+    long_pad = np.concatenate(
+        [real, np.zeros((1, 80, cfg.model.input_dim), np.float32)], axis=1)
+    out_a = model.apply({"params": params}, jnp.asarray(short), None,
+                        train=False)
+    out_b = model.apply({"params": params}, jnp.asarray(long_pad), None,
+                        train=False)
+    np.testing.assert_allclose(np.asarray(out_a["vertices"]),
+                               np.asarray(out_b["vertices"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_a["existence_probabilities"]),
+        np.asarray(out_b["existence_probabilities"]),
+        rtol=2e-4, atol=2e-5)
+
+
+def test_matched_existence_labels_follow_the_matching():
+    """Perfect predictions under a non-identity slot permutation: matched
+    existence labels give ~zero loss where positional labels penalize."""
+    b, v = 1, 6
+    count = 3
+    rng = np.random.default_rng(0)
+    tgt = np.zeros((b, v, 3), np.float32)
+    tgt[0, :count] = rng.normal(size=(count, 3))
+    # Predictions occupy slots 2,4,5 (scattered), matching targets 0,1,2.
+    slot_of_target = [2, 4, 5]
+    pred_v = np.zeros((b, v, 3), np.float32)
+    exist_logits = np.full((b, v), -10.0, np.float32)
+    for t, s in enumerate(slot_of_target):
+        pred_v[0, s] = tgt[0, t]
+        exist_logits[0, s] = 10.0
+    preds = {
+        "vertices": jnp.asarray(pred_v),
+        "existence_logits": jnp.asarray(exist_logits),
+        "existence_probabilities": jax.nn.sigmoid(jnp.asarray(exist_logits)),
+        "edge_logits": jnp.full((b, num_pairs(v)), -10.0, jnp.float32),
+        "pair_mask": jnp.ones((b, num_pairs(v)), bool),
+    }
+    targets = {
+        "vertices": jnp.asarray(tgt),
+        "vertex_existence": jnp.asarray(
+            (np.arange(v)[None] < count).astype(np.float32)),
+        "edge_labels": jnp.zeros((b, num_pairs(v)), jnp.float32),
+        "vertex_counts": jnp.asarray([count], jnp.int32),
+    }
+    matched = wireframe_loss(
+        preds, targets,
+        WireframeLossConfig(matched_existence_labels=True))
+    positional = wireframe_loss(
+        preds, targets,
+        WireframeLossConfig(matched_existence_labels=False))
+    assert float(matched["existence_loss"]) < 1e-3
+    assert float(positional["existence_loss"]) > 1.0
+    assert float(matched["vertex_loss"]) < 1e-6
+
+
+def test_train_step_query_head_grads_flow():
+    cfg = small_query_cfg()
+    cfg.train.matched_edge_labels = True
+    cfg.train.matched_existence_labels = True
+    cfg.train.batch_size = 2
+    cfg.train.device_augment = False
+    from wireframe_tpu.train.state import create_train_state
+    from wireframe_tpu.train.step import make_train_step
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0),
+                               (2, cfg.data.num_points, 8))
+    assert "vertex_decoder" in state.params  # query head selected
+    v, e = cfg.model.max_vertices, num_pairs(cfg.model.max_vertices)
+    r = np.random.default_rng(0)
+    counts = np.array([3, 5], np.int32)
+    batch = {
+        "point_clouds": jnp.asarray(
+            r.normal(size=(2, cfg.data.num_points, 8)), jnp.float32),
+        "target_vertices": jnp.asarray(
+            r.normal(size=(2, v, 3))
+            * (np.arange(v)[None, :, None] < counts[:, None, None]),
+            jnp.float32),
+        "vertex_existence": jnp.asarray(
+            (np.arange(v)[None] < counts[:, None]).astype(np.float32)),
+        "vertex_counts": jnp.asarray(counts),
+        "edge_labels": jnp.asarray(
+            (r.random((2, e)) < 0.2).astype(np.float32)),
+    }
+    step = jax.jit(make_train_step(cfg))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # Slot queries must receive gradient (params changed).
+    before = np.asarray(state.params["vertex_decoder"]["slot_queries"])
+    after = np.asarray(new_state.params["vertex_decoder"]["slot_queries"])
+    assert not np.allclose(before, after)
+
+
+def test_lr_schedule_warmup_cosine():
+    from wireframe_tpu.train.state import make_lr_schedule
+
+    cfg = Config()
+    cfg.train.lr_schedule = "warmup_cosine"
+    cfg.train.learning_rate = 1e-3
+    cfg.train.warmup_steps = 10
+    cfg.train.num_epochs = 100
+    cfg.train.lr_min_ratio = 0.01
+    sched = make_lr_schedule(cfg, steps_per_epoch=2)  # total 200 steps
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    assert float(sched(100)) < 1e-3
+    np.testing.assert_allclose(float(sched(200)), 1e-5, rtol=1e-2)
+    # Constant mode stays a plain float (reference parity).
+    cfg.train.lr_schedule = "constant"
+    assert make_lr_schedule(cfg) == 1e-3
+
+
+def test_pairs_from_slot_mask_decode():
+    v = 5
+    live = np.array([True, False, True, True, False])
+    probs = np.zeros(num_pairs(v), np.float32)
+    pairs = triu_pairs_np(v)
+    # High prob on (0,2) [both live], (0,1) [1 dead], (2,3) [both live].
+    for a, b in [(0, 2), (0, 1), (2, 3)]:
+        probs[np.nonzero((pairs[:, 0] == a) & (pairs[:, 1] == b))[0]] = 0.9
+    got = pairs_from_slot_mask(probs, live, v, 0.5)
+    np.testing.assert_array_equal(got, [[0, 2], [2, 3]])

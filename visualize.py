@@ -106,9 +106,12 @@ def main(argv=None):
                         jnp.asarray(batch["point_clouds"]), None)
         count = int(np.asarray(preds["actual_vertex_counts"])[0])
         probs = np.asarray(preds["edge_probs"])[0]
+        live = (np.asarray(preds["existence_probabilities"])[0]
+                > cfg.eval.vertex_existence_thresh
+                if cfg.model.slot_mask_mode == "existence" else None)
         dec = decode_predictions(
             np.asarray(preds["vertices"])[0], probs, count, v,
-            cfg.eval.edge_confidence_thresh)
+            cfg.eval.edge_confidence_thresh, live_mask=live)
 
         # Per-sample metrics via the same AP stack as evaluate.py.
         ap = APCalculator(distance_thresh=cfg.eval.distance_thresh)

@@ -64,6 +64,27 @@ class ModelConfig:
     edge_num_heads: int = 8
     attn_dropout: float = 0.1
     edge_dropout: float = 0.1
+    # Vertex head selection: "mlp" = reference-parity global-feature MLP
+    # (models/VertexPredictor.py); "query" = DETR-style slot queries
+    # cross-attending to per-point features (anti-collapse head,
+    # models/vertex_query_head.py — QUALITY.md §3).
+    vertex_head: str = "mlp"
+    decoder_dim: int = 256
+    decoder_layers: int = 4
+    decoder_heads: int = 8
+    decoder_ffn_dim: int = 1024
+    decoder_dropout: float = 0.0
+    # Feed the decoder's per-slot features to the edge head alongside the
+    # coordinates (query head only; the reference edge head sees coords
+    # only, models/EdgePredictor.py:31-38).
+    edge_use_slot_features: bool = False
+    # Which slots count as "live" for the edge head + decode:
+    # "prefix"    — slots < count (reference convention,
+    #               PointCloudToWireframe.py:87-97);
+    # "existence" — per-slot existence prob > threshold (needed with
+    #               Hungarian-matched existence labels, where live slots
+    #               are not a prefix).
+    slot_mask_mode: str = "prefix"
     # TPU knobs
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     use_pallas_encoder: bool = False  # fused Pallas point-MLP+pool kernel
@@ -102,6 +123,18 @@ class TrainConfig:
     # reference's positional slot<->GT-order comparison (quirk 4).  Off by
     # default = reference behavior.
     matched_edge_labels: bool = False
+    # DETR-style existence supervision: label slot i "exists" iff the
+    # Hungarian matching paired it with a real target, instead of the
+    # reference's positional prefix labels (train.py:51-59).  Prefix
+    # labels fight the matched vertex loss whenever the matching is not
+    # the identity — a collapse driver (QUALITY.md §3).
+    matched_existence_labels: bool = False
+    # LR schedule: "constant" (reference, train.py:96) or "warmup_cosine"
+    # (linear warmup for warmup_steps, cosine decay to
+    # learning_rate * lr_min_ratio over the run).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 200
+    lr_min_ratio: float = 0.01
     seed: int = 0
     # Device-side augmentation inside the jitted step (TPU-first replacement
     # for the host numpy augment at building3d.py:131-146).

@@ -29,15 +29,27 @@ from wireframe_tpu.data.building3d import (
     edge_endpoint_array,
 )
 from wireframe_tpu.metrics.ap_calculator import APCalculator
-from wireframe_tpu.ops.pairs import pairs_from_mask
+from wireframe_tpu.ops.pairs import pairs_from_mask, pairs_from_slot_mask
 from wireframe_tpu.train.step import make_forward_fn
 
 
 def decode_predictions(pred_vertices: np.ndarray, edge_probs: np.ndarray,
                        dynamic_count: int, max_vertices: int,
-                       thresh: float = 0.5) -> Dict[str, np.ndarray]:
-    """Decode one sample's raw arrays into wireframe structures."""
-    pd_edges = pairs_from_mask(edge_probs, dynamic_count, max_vertices, thresh)
+                       thresh: float = 0.5,
+                       live_mask: Optional[np.ndarray] = None
+                       ) -> Dict[str, np.ndarray]:
+    """Decode one sample's raw arrays into wireframe structures.
+
+    live_mask (V,) bool selects live slots directly (the "existence"
+    slot-mask mode, where live slots are scattered); without it the
+    reference prefix convention applies (first dynamic_count slots).
+    """
+    if live_mask is not None:
+        pd_edges = pairs_from_slot_mask(
+            edge_probs, live_mask, max_vertices, thresh)
+    else:
+        pd_edges = pairs_from_mask(
+            edge_probs, dynamic_count, max_vertices, thresh)
     pd_edges_vertices = edge_endpoint_array(
         np.asarray(pred_vertices, np.float64), pd_edges)
     return {
@@ -68,9 +80,10 @@ def predict_bucketed(cfg: Config, params, clouds: List[np.ndarray],
         verts = np.asarray(preds["vertices"])
         probs = np.asarray(preds["edge_probs"])
         counts = np.asarray(preds["actual_vertex_counts"])
+        exist = np.asarray(preds["existence_probabilities"])
         for j, i in enumerate(idxs):
             results[i] = {"vertices": verts[j], "edge_probs": probs[j],
-                          "count": int(counts[j])}
+                          "count": int(counts[j]), "existence": exist[j]}
     return results
 
 
@@ -117,9 +130,11 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
                 "wf_edges": [], "wf_edges_vertices": [],
             }
             for s, pred in zip(samples, bucketed):
+                live = (pred["existence"] > cfg.eval.vertex_existence_thresh
+                        if cfg.model.slot_mask_mode == "existence" else None)
                 dec = decode_predictions(
                     pred["vertices"], pred["edge_probs"], pred["count"],
-                    v, cfg.eval.edge_confidence_thresh)
+                    v, cfg.eval.edge_confidence_thresh, live_mask=live)
                 gt_vertices = s["wf_vertices"]
                 gt_edges = s["wf_edges"].astype(np.int64)
                 gt_ev = edge_endpoint_array(
@@ -145,6 +160,7 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
         pred_vertices = np.asarray(preds["vertices"])[:n_real]
         edge_probs = np.asarray(preds["edge_probs"])[:n_real]
         counts = np.asarray(preds["actual_vertex_counts"])[:n_real]
+        existence = np.asarray(preds["existence_probabilities"])[:n_real]
 
         ap_batch = {
             "predicted_vertices": [], "predicted_edges": [],
@@ -152,9 +168,11 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
             "wf_edges_vertices": [],
         }
         for i in range(len(chunk)):
+            live = (existence[i] > cfg.eval.vertex_existence_thresh
+                    if cfg.model.slot_mask_mode == "existence" else None)
             dec = decode_predictions(
                 pred_vertices[i], edge_probs[i], int(counts[i]), v,
-                cfg.eval.edge_confidence_thresh)
+                cfg.eval.edge_confidence_thresh, live_mask=live)
             gt_vertices = batch["wf_vertices"][i]
             gt_edges = batch["wf_edges"][i].astype(np.int64)
             gt_ev = edge_endpoint_array(

@@ -57,6 +57,12 @@ class WireframeLossConfig:
     # so pair (slot_a, slot_b) is supervised by the GT edge between the
     # targets those slots are matched to (documented improvement).
     matched_edge_labels: bool = False
+    # DETR-style existence supervision: slot i's existence label is
+    # "matched to a real target" instead of the reference's positional
+    # prefix label (train.py:51-59).  Prefix labels pull live slots to a
+    # prefix while the matched vertex loss permutes freely — a collapse
+    # driver (QUALITY.md §3).
+    matched_existence_labels: bool = False
 
 
 def smooth_l1(x: jnp.ndarray) -> jnp.ndarray:
@@ -156,9 +162,12 @@ def wireframe_loss(predictions: Dict[str, jnp.ndarray],
         0.0)
 
     # ---- 2. Vertex existence BCE -----------------------------------------
+    if cfg.matched_existence_labels:
+        existence_labels = matched.astype(jnp.float32)
+    else:
+        existence_labels = targets["vertex_existence"].astype(jnp.float32)
     existence_loss = jnp.mean(
-        bce_with_logits(predictions["existence_logits"],
-                        targets["vertex_existence"].astype(jnp.float32)))
+        bce_with_logits(predictions["existence_logits"], existence_labels))
 
     # ---- 3. Edge BCE (reference padded-mean semantics) --------------------
     edge_labels = targets["edge_labels"].astype(jnp.float32)

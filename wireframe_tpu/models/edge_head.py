@@ -40,12 +40,25 @@ class EdgePredictor(nn.Module):
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, slot_mask: jnp.ndarray,
-                 deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 deterministic: bool = True,
+                 attn_slot_mask: Optional[jnp.ndarray] = None,
+                 slot_features: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """
         Args:
           vertices: (B, V, 3) predicted coordinates for ALL slots.
-          slot_mask: (B, V) bool — True for live vertex slots (< count).
+          slot_mask: (B, V) bool — True for live vertex slots; gates the
+            pair-validity mask and the output probabilities.
           deterministic: disables dropout (eval).
+          attn_slot_mask: (B, V) bool mask for the self-attention keys;
+            defaults to slot_mask (reference prefix semantics).  The
+            existence slot-mask mode passes all-True here so the
+            attention pattern is independent of early noisy existence
+            estimates.
+          slot_features: optional (B, V, F) per-slot decoder features,
+            concatenated with the coordinates before the vertex embedding
+            (model.edge_use_slot_features; the reference embeds coords
+            only, EdgePredictor.py:31-38).
         Returns:
           edge_probs: (B, E) sigmoid probabilities, zeroed outside the
             pair-validity mask.
@@ -55,9 +68,16 @@ class EdgePredictor(nn.Module):
         b, v, _ = vertices.shape
         h = self.hidden_dim
         x = vertices.astype(self.dtype)
+        if attn_slot_mask is None:
+            attn_slot_mask = slot_mask
+
+        embed_in = x
+        if slot_features is not None:
+            embed_in = jnp.concatenate(
+                [x, slot_features.astype(self.dtype)], axis=-1)
 
         # Vertex embedding (EdgePredictor.py:31-38).
-        f = nn.Dense(h // 2, dtype=self.dtype)(x)
+        f = nn.Dense(h // 2, dtype=self.dtype)(embed_in)
         f = nn.LayerNorm(dtype=jnp.float32)(f)
         f = nn.gelu(f)
         f = nn.Dense(h, dtype=self.dtype)(f)
@@ -67,7 +87,7 @@ class EdgePredictor(nn.Module):
         # Self-attention over live slots only: key mask keeps dead slots
         # out of every softmax, so live-slot outputs equal the reference's
         # prefix-sliced attention.
-        attn_mask = slot_mask[:, None, None, :]  # (B, 1, Q=1->V, K=V)
+        attn_mask = attn_slot_mask[:, None, None, :]  # (B, 1, Q=1->V, K=V)
         attn_mask = jnp.broadcast_to(attn_mask, (b, 1, v, v))
         attended = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
@@ -103,6 +123,8 @@ class EdgePredictor(nn.Module):
         logits = nn.Dense(1, dtype=self.dtype)(y)[..., 0]  # (B, E)
         logits = logits.astype(jnp.float32)
 
-        pair_mask = slot_mask[:, j_idx]  # j > i, so j live implies i live
+        # Both endpoints must be live.  (Under the prefix convention j > i
+        # makes the i-term redundant; scattered existence masks need both.)
+        pair_mask = slot_mask[:, i_idx] & slot_mask[:, j_idx]
         probs = nn.sigmoid(logits) * pair_mask.astype(jnp.float32)
         return probs, logits, pair_mask

@@ -42,13 +42,17 @@ class PointCloudToWireframe(nn.Module):
         """
         cfg = self.config
         dt = _dtype(cfg.compute_dtype)
+        use_query_head = cfg.vertex_head == "query"
 
         encoder = PointNetEncoder(
             input_dim=cfg.input_dim,
             hidden_dims=tuple(cfg.encoder_hidden_dims),
             output_dim=cfg.encoder_output_dim,
             dtype=dt,
-            return_point_features=cfg.return_point_features,
+            # The query head cross-attends to per-point features, so they
+            # must be materialized regardless of the HBM-saving default.
+            return_point_features=(cfg.return_point_features
+                                   or use_query_head),
             # The fused kernel has no autodiff rule; training takes the
             # XLA path (same params), inference takes the kernel.
             use_pallas=cfg.use_pallas_encoder and not train,
@@ -57,21 +61,51 @@ class PointCloudToWireframe(nn.Module):
         )
         global_features, pooled, point_features = encoder(point_cloud)
 
-        vertex_out = VertexPredictor(
-            global_feature_dim=cfg.encoder_output_dim,
-            max_vertices=cfg.max_vertices,
-            vertex_dim=cfg.vertex_dim,
-            dtype=dt,
-            name="vertex_predictor",
-        )(global_features, pooled)
+        if use_query_head:
+            from wireframe_tpu.models.vertex_query_head import (
+                QueryVertexDecoder,
+            )
+            from wireframe_tpu.ops.masked_pool import point_validity_mask
 
-        if train and target_vertex_counts is not None:
-            used_counts = target_vertex_counts.astype(jnp.int32)
+            vertex_out = QueryVertexDecoder(
+                max_vertices=cfg.max_vertices,
+                dim=cfg.decoder_dim,
+                num_layers=cfg.decoder_layers,
+                num_heads=cfg.decoder_heads,
+                ffn_dim=cfg.decoder_ffn_dim,
+                dropout=cfg.decoder_dropout,
+                dtype=dt,
+                name="vertex_decoder",
+            )(point_features, point_validity_mask(point_cloud),
+              global_features, deterministic=not train)
         else:
-            used_counts = vertex_out["actual_vertex_counts"]
+            vertex_out = VertexPredictor(
+                global_feature_dim=cfg.encoder_output_dim,
+                max_vertices=cfg.max_vertices,
+                vertex_dim=cfg.vertex_dim,
+                dtype=dt,
+                name="vertex_predictor",
+            )(global_features, pooled)
 
-        slot_ids = jnp.arange(cfg.max_vertices, dtype=jnp.int32)
-        slot_mask = slot_ids[None, :] < used_counts[:, None]  # (B, V)
+        if cfg.slot_mask_mode == "existence":
+            # Live slots come from per-slot existence, not a count prefix
+            # (Hungarian-matched existence labels leave live slots
+            # scattered).  The edge head attends over ALL slots — the
+            # pair-validity mask alone gates the outputs — so training
+            # does not churn the attention pattern through early noisy
+            # existence estimates, and a sample with zero live slots
+            # cannot produce an all-masked (NaN) softmax.
+            slot_mask = vertex_out["existence_probabilities"] > 0.5
+            attn_slot_mask = jnp.ones_like(slot_mask, dtype=bool)
+            used_counts = jnp.sum(slot_mask.astype(jnp.int32), axis=-1)
+        else:
+            if train and target_vertex_counts is not None:
+                used_counts = target_vertex_counts.astype(jnp.int32)
+            else:
+                used_counts = vertex_out["actual_vertex_counts"]
+            slot_ids = jnp.arange(cfg.max_vertices, dtype=jnp.int32)
+            slot_mask = slot_ids[None, :] < used_counts[:, None]  # (B, V)
+            attn_slot_mask = slot_mask
 
         edge_probs, edge_logits, pair_mask = EdgePredictor(
             vertex_dim=3,
@@ -82,7 +116,11 @@ class PointCloudToWireframe(nn.Module):
             max_vertices=cfg.max_vertices,
             dtype=dt,
             name="edge_predictor",
-        )(vertex_out["vertices"], slot_mask, deterministic=not train)
+        )(vertex_out["vertices"], slot_mask,
+          deterministic=not train,
+          attn_slot_mask=attn_slot_mask,
+          slot_features=(vertex_out.get("slot_features")
+                         if cfg.edge_use_slot_features else None))
 
         out = {
             "vertices": vertex_out["vertices"],
@@ -90,6 +128,7 @@ class PointCloudToWireframe(nn.Module):
             "existence_probabilities": vertex_out["existence_probabilities"],
             "actual_vertex_counts": vertex_out["actual_vertex_counts"],
             "used_vertex_counts": used_counts,
+            "slot_mask": slot_mask,
             "edge_probs": edge_probs,
             "edge_logits": edge_logits,
             "pair_mask": pair_mask,

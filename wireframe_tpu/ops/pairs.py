@@ -90,3 +90,14 @@ def pairs_from_mask(probs: np.ndarray, counts: int, v: int,
     pairs = triu_pairs_np(v)
     keep = (probs > thresh) & (pairs[:, 1] < counts)
     return pairs[keep].astype(np.int64)
+
+
+def pairs_from_slot_mask(probs: np.ndarray, live: np.ndarray, v: int,
+                         thresh: float = 0.5) -> np.ndarray:
+    """Host-side decode for the "existence" slot-mask mode: keep pairs
+    with prob > thresh whose BOTH endpoints are live per-slot (live slots
+    are scattered, not a prefix)."""
+    pairs = triu_pairs_np(v)
+    live = np.asarray(live, bool)
+    keep = (probs > thresh) & live[pairs[:, 0]] & live[pairs[:, 1]]
+    return pairs[keep].astype(np.int64)

@@ -65,7 +65,8 @@ def train_model(cfg: Config, loader: BatchLoader,
     if state is None:
         state = create_train_state(
             cfg, init_rng,
-            (cfg.train.batch_size, cfg.data.num_points, cfg.model.input_dim))
+            (cfg.train.batch_size, cfg.data.num_points, cfg.model.input_dim),
+            steps_per_epoch=1 if cfg.train.overfit_one_batch else len(loader))
     logger.info("Model parameters: %s", f"{param_count(state.params):,}")
 
     train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))

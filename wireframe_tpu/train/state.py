@@ -36,21 +36,49 @@ class TrainState:
                             opt_state=new_opt_state)
 
 
-def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+def make_lr_schedule(cfg: Config, steps_per_epoch: int = 1):
+    """Scalar LR schedule per cfg.train.lr_schedule.
+
+    "constant" reproduces the reference (Adam lr=1e-3 forever,
+    train.py:96); "warmup_cosine" warms up linearly for `warmup_steps`
+    optimizer steps then cosine-decays to learning_rate * lr_min_ratio
+    at num_epochs * steps_per_epoch steps.
+    """
     t = cfg.train
+    if t.lr_schedule == "constant":
+        return t.learning_rate
+    if t.lr_schedule == "warmup_cosine":
+        total = max(t.num_epochs * max(steps_per_epoch, 1), t.warmup_steps + 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=t.learning_rate,
+            warmup_steps=t.warmup_steps,
+            decay_steps=total,
+            end_value=t.learning_rate * t.lr_min_ratio,
+        )
+    raise ValueError(f"Unknown lr_schedule: {t.lr_schedule!r}")
+
+
+def make_optimizer(cfg: Config,
+                   steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    t = cfg.train
+    lr = make_lr_schedule(cfg, steps_per_epoch)
     return optax.chain(
         optax.clip_by_global_norm(t.grad_clip_norm),
         optax.add_decayed_weights(t.weight_decay),
         optax.scale_by_adam(b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps),
-        optax.scale(-t.learning_rate),
+        optax.scale_by_learning_rate(lr),
     )
 
 
 def create_train_state(cfg: Config, rng: jax.Array,
-                       sample_batch_shape=None) -> TrainState:
+                       sample_batch_shape=None,
+                       steps_per_epoch: int = 1) -> TrainState:
     """Initialize model params + optimizer.
 
     sample_batch_shape: optional (B, N, D); defaults from config.
+    steps_per_epoch sizes the cosine decay horizon (ignored for the
+    constant schedule); pass len(loader) for full-corpus training.
     """
     model = PointCloudToWireframe(cfg.model)
     if sample_batch_shape is None:
@@ -59,7 +87,7 @@ def create_train_state(cfg: Config, rng: jax.Array,
     dummy_counts = jnp.full((sample_batch_shape[0],), 4, jnp.int32)
     params = model.init(
         {"params": rng}, dummy, dummy_counts, train=False)["params"]
-    tx = make_optimizer(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

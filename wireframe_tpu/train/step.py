@@ -57,6 +57,7 @@ def make_train_step(cfg: Config) -> Callable:
         existence_weight=cfg.train.existence_weight,
         matcher=cfg.train.matcher,
         matched_edge_labels=cfg.train.matched_edge_labels,
+        matched_existence_labels=cfg.train.matched_existence_labels,
     )
     do_augment = cfg.train.device_augment and cfg.data.augment
 
