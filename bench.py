@@ -9,9 +9,19 @@ target of >= 5,000 clouds/sec on a v5e-8, i.e. 625 clouds/sec/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_BATCH (default 64), BENCH_POINTS (default 2560),
+Latency is reported as TRUE percentiles (p50/p90/p99) over individually
+timed dispatch->host-readback round trips (each iteration reads back a
+scalar data-dependent on the result — on tunneled platforms
+block_until_ready does not await remote completion, a readback does).
+Throughput is measured separately with the chained-scalar barrier so
+latency round trips don't serialize the pipeline.
+
+Env knobs: BENCH_BATCH (default 128), BENCH_POINTS (default 2560),
 BENCH_DTYPE (float32|bfloat16, default bfloat16), BENCH_ITERS,
-BENCH_TRAIN=1 to benchmark the train step instead.
+BENCH_LAT_ITERS (default 20), BENCH_TRAIN=1 to benchmark the train step
+instead, BENCH_BUCKETS=2048,4096,... to also sweep per-bucket latency
+(one extra compile per bucket — minutes each on the tunneled platform,
+so opt-in; published numbers live in BENCH_LATENCY.md).
 """
 
 from __future__ import annotations
@@ -151,8 +161,62 @@ def main() -> int:
         "points": points,
         "dtype": dtype,
         "device": str(dev),
-        "p50_latency_ms": round(dt / iters * 1000, 3),
+        # Mean batch wall-time over the chained throughput loop — NOT a
+        # percentile (ADVICE r1: the old name "p50_latency_ms" lied).
+        "mean_batch_ms": round(dt / iters * 1000, 3),
     }
+
+    if not bench_train:
+        def measure_latency(xs_list, bs, n_iters):
+            """Individually timed dispatch -> host-readback round trips."""
+            from wireframe_tpu.utils.profiling import StepTimer
+
+            for i in range(2):  # untimed warmup absorbs compile + caches
+                o = fwd(state.params, xs_list[i % len(xs_list)], None)
+                float(o["vertices"].mean())
+            timer = StepTimer(warmup=0)
+            for i in range(n_iters):
+                timer.tick()
+                o = fwd(state.params, xs_list[i % len(xs_list)], None)
+                # Data-dependent scalar readback = completion barrier.
+                float(o["vertices"].mean() + o["edge_probs"].mean())
+            timer.tick()
+            return timer.summary(items_per_step=bs)
+
+        lat_iters = int(os.environ.get("BENCH_LAT_ITERS", "20"))
+        _log(f"latency phase: {lat_iters} timed round trips")
+        s = measure_latency(xs, batch, lat_iters)
+        result["latency_ms"] = {
+            "p50": round(s["p50_s"] * 1e3, 3),
+            "p90": round(s["p90_s"] * 1e3, 3),
+            "p99": round(s["p99_s"] * 1e3, 3),
+            "per_cloud_p50": round(s["p50_s"] * 1e3 / batch, 4),
+            "iters": s["steps"],
+        }
+
+        buckets_env = os.environ.get("BENCH_BUCKETS", "")
+        if buckets_env:
+            result["buckets"] = {}
+            for bucket in (int(t) for t in buckets_env.split(",")):
+                # Keep the point budget roughly constant across buckets.
+                bb = max(8, min(batch, (batch * points) // bucket))
+                xb = [jax.device_put(jnp.asarray(
+                    r.normal(size=(bb, bucket, cfg.model.input_dim))
+                    .astype(np.float32))) for _ in range(4)]
+                _log(f"bucket {bucket}: compile + {lat_iters} round trips "
+                     f"(batch {bb})")
+                sb = measure_latency(xb, bb, lat_iters)
+                result["buckets"][str(bucket)] = {
+                    "batch": bb,
+                    "p50_ms": round(sb["p50_s"] * 1e3, 3),
+                    "p99_ms": round(sb["p99_s"] * 1e3, 3),
+                    "per_cloud_p50_ms": round(sb["p50_s"] * 1e3 / bb, 4),
+                    # Serialized round trips (each awaits readback), NOT
+                    # the pipelined throughput metric above.
+                    "round_trip_clouds_per_sec": round(
+                        sb["items_per_sec"], 1),
+                }
+
     print(json.dumps(result))
     return 0
 

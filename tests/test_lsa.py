@@ -82,3 +82,21 @@ def test_callback_matcher_matches(rng):
     ca = np.asarray(assignment_cost(jnp.asarray(cost), jnp.asarray(a)))
     cb = np.asarray(assignment_cost(jnp.asarray(cost), jnp.asarray(b)))
     np.testing.assert_allclose(ca, cb, rtol=1e-5, atol=1e-5)
+
+
+def test_nan_cost_terminates():
+    """NaN costs must NOT hang the solver: unbounded, the Dijkstra
+    while_loop re-picks the same column forever (observed as a TPU
+    watchdog kill when bf16 training produced NaN params).  The bounded
+    loops return a garbage-but-finite assignment instead."""
+    import jax.numpy as jnp
+
+    from wireframe_tpu.ops.lsa import solve_lsa, solve_lsa_rows
+
+    nan_cost = jnp.full((6, 6), jnp.nan, jnp.float32)
+    out = np.asarray(solve_lsa(nan_cost))          # must return, not hang
+    assert out.shape == (6,)
+    mixed = jnp.asarray(
+        np.where(np.eye(6, 8) > 0, np.nan, 1.0).astype(np.float32))
+    out2 = np.asarray(solve_lsa_rows(mixed, jnp.asarray(4)))
+    assert out2.shape == (6,)

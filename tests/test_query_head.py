@@ -209,3 +209,24 @@ def test_pairs_from_slot_mask_decode():
         probs[np.nonzero((pairs[:, 0] == a) & (pairs[:, 1] == b))[0]] = 0.9
     got = pairs_from_slot_mask(probs, live, v, 0.5)
     np.testing.assert_array_equal(got, [[0, 2], [2, 3]])
+
+
+def test_edge_dist_gradient_finite_on_coincident_vertices():
+    """Two identical predicted vertices: the pair-distance gradient must
+    stay finite (bare jnp.linalg.norm gives NaN at 0, which poisoned
+    whole-model grads under bfloat16 rounding)."""
+    from wireframe_tpu.models.edge_head import EdgePredictor
+
+    v = 6
+    head = EdgePredictor(hidden_dim=32, num_heads=2, max_vertices=v)
+    verts = np.zeros((1, v, 3), np.float32)
+    verts[0, :, 0] = [0.0, 0.0, 1.0, 2.0, 3.0, 4.0]  # slots 0,1 coincide
+    mask = jnp.ones((1, v), bool)
+    params = head.init(jax.random.PRNGKey(0), jnp.asarray(verts), mask)
+
+    def loss(vv):
+        probs, logits, _ = head.apply(params, vv, mask)
+        return jnp.sum(logits)
+
+    g = jax.grad(loss)(jnp.asarray(verts))
+    assert np.isfinite(np.asarray(g)).all()

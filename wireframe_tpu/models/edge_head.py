@@ -105,7 +105,13 @@ class EdgePredictor(nn.Module):
         f2 = f[:, j_idx, :]
         c1 = x[:, i_idx, :]       # (B, E, 3)
         c2 = x[:, j_idx, :]
-        dist = jnp.linalg.norm(c1 - c2, axis=-1, keepdims=True)
+        # Safe norm: d(sqrt(x))/dx blows up at 0, and two predicted
+        # vertices CAN coincide exactly (especially after bfloat16
+        # rounding early in training) — the bare jnp.linalg.norm gradient
+        # is NaN there, which poisoned grad_norm and, through NaN params,
+        # sent NaN costs into the LSA while_loop (a device hang).
+        d2 = jnp.sum(jnp.square(c1 - c2), axis=-1, keepdims=True)
+        dist = jnp.sqrt(d2 + 1e-12)
 
         pair_feats = jnp.concatenate([f1, f2, c1, c2, dist], axis=-1)
 

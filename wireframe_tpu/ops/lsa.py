@@ -49,12 +49,18 @@ def _augment_row(cost, u, v, col4row, row4col, cur_row):
     spc0 = jnp.full((n_cols,), inf, cost.dtype)
     path0 = jnp.full((n_cols,), -1, jnp.int32)
 
+    # HARD ITERATION BOUND: each legitimate iteration marks a new column
+    # scanned, so > n_cols iterations means the costs are NaN (every
+    # comparison false -> the same column re-picked forever).  Unbounded,
+    # that spins the while_loop until the TPU watchdog kills the worker
+    # process (observed with NaN params); bounded, a garbage assignment
+    # comes back and the NaN surfaces in the loss where it is debuggable.
     def cond(s):
-        _, _, _, _, _, _, sink = s
-        return sink < 0
+        _, _, _, _, _, _, sink, k = s
+        return (sink < 0) & (k <= n_cols)
 
     def body(s):
-        SR, SC, spc, path, min_val, i, _ = s
+        SR, SC, spc, path, min_val, i, _, k = s
         SR = SR.at[i].set(True)
         r = min_val + cost[i] - u[i] - v
         better = (r < spc) & (~SC)
@@ -72,12 +78,16 @@ def _augment_row(cost, u, v, col4row, row4col, cur_row):
         sink = jnp.where(row4col[j] == -1, j, -1)
         i_next = jnp.where(sink < 0, row4col[j], i)
         SC = SC.at[j].set(True)
-        return SR, SC, spc, path, lowest, i_next, sink
+        return SR, SC, spc, path, lowest, i_next, sink, k + 1
 
     init = (SR0, SC0, spc0, path0, jnp.asarray(0.0, cost.dtype),
-            jnp.asarray(cur_row, jnp.int32), jnp.asarray(-1, jnp.int32))
-    SR, SC, spc, path, min_val, _, sink = jax.lax.while_loop(
+            jnp.asarray(cur_row, jnp.int32), jnp.asarray(-1, jnp.int32),
+            jnp.asarray(0, jnp.int32))
+    SR, SC, spc, path, min_val, _, sink, _ = jax.lax.while_loop(
         cond, body, init)
+    # NaN escape: pretend the sink is column 0 so augmentation stays
+    # bounded; the assignment is garbage but finite-shaped.
+    sink = jnp.where(sink < 0, 0, sink)
 
     # Dual updates keep reduced costs non-negative for later rows.
     idx = jnp.arange(n_rows)
@@ -87,21 +97,26 @@ def _augment_row(cost, u, v, col4row, row4col, cur_row):
     u = jnp.where(other, u + min_val - spc[safe_cols], u)
     v = jnp.where(SC, v - (min_val - spc), v)
 
-    # Augment along predecessors from sink back to cur_row.
+    # Augment along predecessors from sink back to cur_row.  The
+    # alternating path visits each row at most once, so bound at n_rows
+    # steps (same NaN defense as the search loop above).
     def aug_cond(s):
-        _, _, _, done = s
-        return jnp.logical_not(done)
+        _, _, _, done, k = s
+        return jnp.logical_not(done) & (k <= n_rows)
 
     def aug_body(s):
-        j, c4r, r4c, _ = s
+        j, c4r, r4c, _, k = s
         i = path[j]
-        r4c = r4c.at[j].set(i)
-        nxt = c4r[i]
-        c4r = c4r.at[i].set(j)
-        return nxt, c4r, r4c, i == cur_row
+        safe_i = jnp.maximum(i, 0)  # path[j] == -1 only on NaN escape
+        r4c = r4c.at[j].set(safe_i)
+        nxt = c4r[safe_i]
+        c4r = c4r.at[safe_i].set(j)
+        return nxt, c4r, r4c, i == cur_row, k + 1
 
-    _, col4row, row4col, _ = jax.lax.while_loop(
-        aug_cond, aug_body, (sink, col4row, row4col, False))
+    _, col4row, row4col, _, _ = jax.lax.while_loop(
+        aug_cond, aug_body,
+        (sink, col4row, row4col, jnp.asarray(False),
+         jnp.asarray(0, jnp.int32)))
     return u, v, col4row, row4col
 
 

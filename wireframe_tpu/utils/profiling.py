@@ -55,15 +55,25 @@ class StepTimer:
     def steady_times(self) -> List[float]:
         return self._times[self.warmup:]
 
+    @staticmethod
+    def percentile(sorted_ts: List[float], q: float) -> float:
+        """Nearest-rank percentile (q in [0, 100]) of a pre-sorted list."""
+        if not sorted_ts:
+            return float("nan")
+        idx = min(len(sorted_ts) - 1,
+                  max(0, int(round(q / 100.0 * (len(sorted_ts) - 1)))))
+        return sorted_ts[idx]
+
     def summary(self, items_per_step: int = 1) -> dict:
         ts = self.steady_times or self._times
         if not ts:
             return {}
         ts_sorted = sorted(ts)
-        p50 = ts_sorted[len(ts_sorted) // 2]
         return {
             "steps": len(ts),
             "mean_s": sum(ts) / len(ts),
-            "p50_s": p50,
+            "p50_s": self.percentile(ts_sorted, 50),
+            "p90_s": self.percentile(ts_sorted, 90),
+            "p99_s": self.percentile(ts_sorted, 99),
             "items_per_sec": items_per_step * len(ts) / sum(ts),
         }
