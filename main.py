@@ -40,7 +40,15 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def resolve_data_root(cli_root):
+def resolve_data_root(cli_root, allow_generate=True):
+    """Locate (or synthesize) a Building3D corpus.
+
+    Order: explicit --data-root > ./datasets > auto-generated synthetic
+    demo corpus in ./datasets (tools/gen_demo_data.py).  The repo is
+    self-contained: no path outside the tree is ever consulted — point
+    --data-root at a real Building3D corpus for benchmark-comparable
+    numbers.
+    """
     if cli_root:
         if not os.path.isdir(os.path.join(cli_root, "train", "xyz")):
             raise SystemExit(
@@ -48,10 +56,16 @@ def resolve_data_root(cli_root):
                 "(expected Building3D layout: <root>/{train,test}/"
                 "{xyz,wireframe})")
         return cli_root
-    for cand in ("./datasets", "/root/reference/datasets"):
-        if os.path.isdir(os.path.join(cand, "train", "xyz")):
-            return cand
-    raise SystemExit("No Building3D corpus found; pass --data-root")
+    if os.path.isdir(os.path.join("./datasets", "train", "xyz")):
+        return "./datasets"
+    if not allow_generate:
+        raise SystemExit("No Building3D corpus found; pass --data-root")
+    print("No corpus at ./datasets — generating a synthetic demo corpus "
+          "(tools/gen_demo_data.py). Pass --data-root for real data.")
+    from tools.gen_demo_data import main as gen_main
+
+    gen_main(["--out", "datasets"])
+    return "./datasets"
 
 
 def main(argv=None):

