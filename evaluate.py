@@ -21,6 +21,10 @@ def parse_args(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--data-root", default=None)
     p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--torch-checkpoint", default=None, metavar="PTH",
+                   help="evaluate a reference PyTorch trained_model.pth "
+                        "via full weight transplantation instead of an "
+                        "orbax checkpoint")
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--split", default="test", choices=("train", "test"))
     p.add_argument("--raw-points", action="store_true",
@@ -45,10 +49,27 @@ def main(argv=None):
 
     from wireframe_tpu.train.checkpoint import apply_checkpoint_model_config
 
-    payload, meta = load_checkpoint(args.checkpoint_dir, args.step)
-    # Restore the architecture from checkpoint metadata (single source of
-    # truth — fixes reference quirk 10).
-    apply_checkpoint_model_config(cfg, meta)
+    if args.torch_checkpoint:
+        from wireframe_tpu.train.checkpoint import (
+            load_torch_checkpoint_as_params,
+        )
+
+        params, max_vertices = load_torch_checkpoint_as_params(
+            args.torch_checkpoint)
+        payload = {"params": params}
+        # The reference model's config: MLP head, prefix slots, raw
+        # intensity (quirk 3 — it never rescales), V from the final layer.
+        cfg.data.max_vertices = max_vertices
+        cfg.model.max_vertices = max_vertices
+        cfg.model.vertex_head = "mlp"
+        cfg.model.slot_mask_mode = "prefix"
+        cfg.data.scale_intensity = False
+        cfg.__post_init__()
+    else:
+        payload, meta = load_checkpoint(args.checkpoint_dir, args.step)
+        # Restore the architecture from checkpoint metadata (single source
+        # of truth — fixes reference quirk 10).
+        apply_checkpoint_model_config(cfg, meta)
 
     dataset = Building3DDataset(cfg.data, args.split)
     print(f"Evaluating {len(dataset)} samples from '{args.split}'"

@@ -133,28 +133,8 @@ def apply_checkpoint_model_config(cfg: Config, meta: dict) -> Config:
 # PyTorch `.pth` import (parity testing only; torch is CPU-only here).
 # ---------------------------------------------------------------------------
 
-_TORCH_TO_FLAX_NOTES = """
-Mapping reference state_dict -> flax params (transposed Dense kernels):
-  encoder.mlp.{0,4,8,12}.*        -> encoder/point_mlp/dense_*  (+ LayerNorm 1,5,9,13)
-  encoder.mlp.16.*                -> encoder/point_mlp/proj
-  encoder.feature_fusion.{0,3,6}  -> encoder/fusion Dense_{0,1,2} (+ LN 1,4)
-  vertex_predictor.vertex_mlp{1..4}.0 -> vertex_predictor/mlp{1..4}/Dense_0
-  vertex_predictor.final_layer    -> vertex_predictor/final_layer
-  vertex_predictor.residual_proj{1,2} -> same names
-  vertex_predictor.point_pool_proj    -> same name (lazily created there)
-  edge_predictor.*                -> edge head (attention layouts differ:
-                                     torch packs QKV; flax splits per-head)
-"""
-
-
 def import_torch_state_dict(pth_path: str):
-    """Load the reference's `.pth` and return (state_dict_numpy, max_vertices).
-
-    Full weight transplantation is intentionally out of scope (the
-    architectures are functionally equivalent but not weight-layout
-    identical, e.g. packed-QKV attention); this importer exists so parity
-    tooling can read reference checkpoints' shapes/metadata.
-    """
+    """Load the reference's `.pth` as (state_dict_numpy, max_vertices)."""
     import torch
 
     sd = torch.load(pth_path, map_location="cpu")
@@ -162,3 +142,125 @@ def import_torch_state_dict(pth_path: str):
     final = out.get("vertex_predictor.final_layer.weight")
     max_vertices = final.shape[0] // 4 if final is not None else None
     return out, max_vertices
+
+
+def torch_to_flax_params(sd: dict, num_heads: int = 8) -> dict:
+    """Full weight transplantation: reference PyTorch state_dict -> flax
+    params for the reference-parity model (model.vertex_head="mlp").
+
+    Layout rules (every torch Linear weight is (out, in); flax Dense
+    kernels are (in, out), hence the transposes):
+      encoder.mlp.{4i}/{4i+1}      -> encoder/stage{i}_* (Linear + LN)
+      encoder.mlp.16               -> encoder/proj_*
+      encoder.feature_fusion.{0,3,6}/{1,4} -> encoder/fusion Dense_{0,1,2}
+                                              + LayerNorm_{0,1}
+      vertex_predictor.vertex_mlp{k}.{0,1} -> vertex_predictor/mlp{k}
+      final_layer / residual_proj{1,2} / point_pool_proj -> same names
+        (point_pool_proj exists in the state_dict only if a forward ran
+        before torch.save — the reference creates it lazily,
+        VertexPredictor.py:94-97)
+      edge_predictor.vertex_proj.{0,3}/{1,4} -> edge Dense_{0,1} + LN_{0,1}
+      edge_predictor.attention     -> packed in_proj_weight (3H, H) split
+        into flax query/key/value kernels (H, heads, head_dim) per
+        models/EdgePredictor.py:41-46; out_proj -> out kernel
+        (heads, head_dim, H)
+      edge_predictor.edge_mlp.{0,4,8,10}/{1,5} -> edge Dense_{2..5}
+        + LayerNorm_{2,3}
+      edge_predictor.spatial_proj  -> dead in the reference (never called,
+        quirk 9) — skipped.
+    """
+    def t(key):  # torch Linear weight -> flax kernel
+        return np.asarray(sd[key]).T.copy()
+
+    def v(key):
+        return np.asarray(sd[key]).copy()
+
+    def dense(prefix):
+        return {"kernel": t(prefix + ".weight"), "bias": v(prefix + ".bias")}
+
+    def ln(prefix):
+        return {"scale": v(prefix + ".weight"), "bias": v(prefix + ".bias")}
+
+    encoder = {}
+    n_stages = 0
+    while f"encoder.mlp.{4 * n_stages}.weight" in sd and (
+            f"encoder.mlp.{4 * n_stages + 1}.weight" in sd):
+        i = n_stages
+        encoder[f"stage{i}_w"] = t(f"encoder.mlp.{4 * i}.weight")
+        encoder[f"stage{i}_b"] = v(f"encoder.mlp.{4 * i}.bias")
+        encoder[f"stage{i}_ln_scale"] = v(f"encoder.mlp.{4 * i + 1}.weight")
+        encoder[f"stage{i}_ln_bias"] = v(f"encoder.mlp.{4 * i + 1}.bias")
+        n_stages += 1
+    encoder["proj_w"] = t(f"encoder.mlp.{4 * n_stages}.weight")
+    encoder["proj_b"] = v(f"encoder.mlp.{4 * n_stages}.bias")
+    encoder["fusion"] = {
+        "Dense_0": dense("encoder.feature_fusion.0"),
+        "LayerNorm_0": ln("encoder.feature_fusion.1"),
+        "Dense_1": dense("encoder.feature_fusion.3"),
+        "LayerNorm_1": ln("encoder.feature_fusion.4"),
+        "Dense_2": dense("encoder.feature_fusion.6"),
+    }
+
+    vertex = {
+        "final_layer": dense("vertex_predictor.final_layer"),
+        "residual_proj1": dense("vertex_predictor.residual_proj1"),
+        "residual_proj2": dense("vertex_predictor.residual_proj2"),
+    }
+    for k in (1, 2, 3, 4):
+        vertex[f"mlp{k}"] = {
+            "Dense_0": dense(f"vertex_predictor.vertex_mlp{k}.0"),
+            "LayerNorm_0": ln(f"vertex_predictor.vertex_mlp{k}.1"),
+        }
+    if "vertex_predictor.point_pool_proj.weight" in sd:
+        vertex["point_pool_proj"] = dense("vertex_predictor.point_pool_proj")
+    else:
+        raise KeyError(
+            "state_dict lacks vertex_predictor.point_pool_proj — the "
+            "reference creates it lazily on the first forward; run one "
+            "forward before torch.save, or load with strict=False "
+            "semantics by injecting a fresh flax init for this layer")
+
+    in_w = np.asarray(sd["edge_predictor.attention.in_proj_weight"])
+    in_b = np.asarray(sd["edge_predictor.attention.in_proj_bias"])
+    h = in_w.shape[1]
+    head_dim = h // num_heads
+
+    def qkv(part):
+        w = in_w[part * h:(part + 1) * h]   # (H_out, H_in) torch layout
+        b = in_b[part * h:(part + 1) * h]
+        return {"kernel": w.T.reshape(h, num_heads, head_dim).copy(),
+                "bias": b.reshape(num_heads, head_dim).copy()}
+
+    out_w = np.asarray(sd["edge_predictor.attention.out_proj.weight"])
+    attention = {
+        "query": qkv(0),
+        "key": qkv(1),
+        "value": qkv(2),
+        "out": {
+            "kernel": out_w.T.reshape(num_heads, head_dim, h).copy(),
+            "bias": v("edge_predictor.attention.out_proj.bias"),
+        },
+    }
+
+    edge = {
+        "Dense_0": dense("edge_predictor.vertex_proj.0"),
+        "LayerNorm_0": ln("edge_predictor.vertex_proj.1"),
+        "Dense_1": dense("edge_predictor.vertex_proj.3"),
+        "LayerNorm_1": ln("edge_predictor.vertex_proj.4"),
+        "attention": attention,
+        "Dense_2": dense("edge_predictor.edge_mlp.0"),
+        "LayerNorm_2": ln("edge_predictor.edge_mlp.1"),
+        "Dense_3": dense("edge_predictor.edge_mlp.4"),
+        "LayerNorm_3": ln("edge_predictor.edge_mlp.5"),
+        "Dense_4": dense("edge_predictor.edge_mlp.8"),
+        "Dense_5": dense("edge_predictor.edge_mlp.10"),
+    }
+
+    return {"encoder": encoder, "vertex_predictor": vertex,
+            "edge_predictor": edge}
+
+
+def load_torch_checkpoint_as_params(pth_path: str, num_heads: int = 8):
+    """One-call import: reference `.pth` -> (flax params, max_vertices)."""
+    sd, max_vertices = import_torch_state_dict(pth_path)
+    return torch_to_flax_params(sd, num_heads=num_heads), max_vertices
