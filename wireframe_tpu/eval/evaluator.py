@@ -91,19 +91,31 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
                    forward_fn=None,
                    indices: Optional[List[int]] = None,
                    verbose: bool = True,
-                   raw_points: bool = False) -> Dict[str, float]:
+                   raw_points: bool = False,
+                   device_hausdorff: bool = False,
+                   ap: Optional[APCalculator] = None) -> Dict[str, float]:
     """Run inference over `dataset` and return the Building3D metric dict.
 
     raw_points=True evaluates on the full unsampled clouds via bucketed
     batching instead of the reference's 2560-point random sampling.
+    device_hausdorff=True computes the pred-vs-GT edge Hausdorff matrices
+    in one padded batch on device (eval/distributed.py) instead of
+    per-sample numpy.  Pass `ap` to accumulate into an external
+    calculator (sharded eval merges per-shard counters).
     """
     if forward_fn is None:
         forward_fn = jax.jit(make_forward_fn(cfg, train=False))
-    ap = APCalculator(distance_thresh=cfg.eval.distance_thresh,
-                      confidence_thresh=cfg.eval.edge_confidence_thresh)
+    if ap is None:
+        ap = APCalculator(distance_thresh=cfg.eval.distance_thresh,
+                          confidence_thresh=cfg.eval.edge_confidence_thresh)
     v = cfg.model.max_vertices
     bs = cfg.eval.batch_size
-    rng = np.random.default_rng(cfg.data.seed)
+
+    # Per-sample rng derived from (seed, index): point sampling for sample
+    # i is identical no matter which order/shard evaluates it — required
+    # for sharded-eval counter equality (eval/distributed.py).
+    def sample_rng(i):
+        return np.random.default_rng((cfg.data.seed, i))
 
     idxs = list(range(len(dataset))) if indices is None else list(indices)
     for k in range(0, len(idxs), bs):
@@ -115,7 +127,7 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
             saved = dataset.cfg
             dataset.cfg = raw_cfg
             try:
-                samples = [dataset.get_sample(i, rng=rng,
+                samples = [dataset.get_sample(i, rng=sample_rng(i),
                                               augment_on_host=False)
                            for i in chunk]
             finally:
@@ -145,9 +157,18 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
                 ap_batch["wf_vertices"].append(gt_vertices)
                 ap_batch["wf_edges"].append(gt_edges)
                 ap_batch["wf_edges_vertices"].append(gt_ev)
+            if device_hausdorff:
+                from wireframe_tpu.eval.distributed import (
+                    batched_edge_distances,
+                )
+
+                ap_batch["edge_distance"] = batched_edge_distances(
+                    ap_batch["pred_edges_vertices"],
+                    ap_batch["wf_edges_vertices"])
             ap.compute_metrics(ap_batch)
             continue
-        samples = [dataset.get_sample(i, rng=rng, augment_on_host=False)
+        samples = [dataset.get_sample(i, rng=sample_rng(i),
+                                      augment_on_host=False)
                    for i in chunk]
         # Pad ragged final chunks to the full batch size (repeat the last
         # sample) so every batch hits the SAME compiled program; padded
@@ -183,6 +204,12 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
             ap_batch["wf_vertices"].append(gt_vertices)
             ap_batch["wf_edges"].append(gt_edges)
             ap_batch["wf_edges_vertices"].append(gt_ev)
+        if device_hausdorff:
+            from wireframe_tpu.eval.distributed import batched_edge_distances
+
+            ap_batch["edge_distance"] = batched_edge_distances(
+                ap_batch["pred_edges_vertices"],
+                ap_batch["wf_edges_vertices"])
         ap.compute_metrics(ap_batch)
 
     return ap.output_accuracy() if verbose else ap.summarize()

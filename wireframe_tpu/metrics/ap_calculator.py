@@ -65,9 +65,14 @@ class APCalculator:
         """Accumulate one batch.  Batch keys (each a length-B sequence):
         predicted_vertices (Pi,3), predicted_edges (Qi,2),
         pred_edges_vertices (Qi,2,3), wf_vertices (Vi,3), wf_edges (Ei,2),
-        wf_edges_vertices (Ei,2,3).
+        wf_edges_vertices (Ei,2,3).  Optional `edge_distance` (length-B
+        sequence of (Qi, Ei) matrices) supplies PRECOMPUTED pred-vs-GT
+        segment Hausdorff distances — the batched on-device pass
+        (eval/distributed.py) feeds these; None entries fall back to the
+        host computation.
         """
         batch_size = len(batch["predicted_vertices"])
+        precomputed = batch.get("edge_distance")
         for b in range(batch_size):
             self._accumulate_sample(
                 np.asarray(batch["predicted_vertices"][b]).reshape(-1, 3),
@@ -76,17 +81,34 @@ class APCalculator:
                 np.asarray(batch["wf_vertices"][b]).reshape(-1, 3),
                 np.asarray(batch["wf_edges"][b]).reshape(-1, 2),
                 np.asarray(batch["wf_edges_vertices"][b]).reshape(-1, 2, 3),
+                edge_distance=(None if precomputed is None
+                               else precomputed[b]),
             )
             self.num_samples += 1
 
+    def merge_counters(self, others) -> "APCalculator":
+        """Fold other calculators' raw counters into this one (pod-scale
+        eval: each shard accumulates independently, then counters merge —
+        every `summarize` ratio is a function of the summed counters)."""
+        for o in others:
+            for k in _COUNTER_KEYS:
+                self.ap_dict[k] += o.ap_dict[k]
+            self.num_samples += o.num_samples
+        return self
+
     def _accumulate_sample(self, predicted_corners, predicted_edges,
                            pred_edges_vertices, label_corners, label_edges,
-                           label_edges_vertices) -> None:
+                           label_edges_vertices, edge_distance=None) -> None:
         thresh = self.distance_thresh
         if len(predicted_edges) != 0:
             # 1. Edge matching on sampled Hausdorff distances.
-            edge_distance = hausdorff_distance_line(
-                pred_edges_vertices, label_edges_vertices)
+            if edge_distance is None:
+                edge_distance = hausdorff_distance_line(
+                    pred_edges_vertices, label_edges_vertices)
+            else:
+                edge_distance = np.asarray(edge_distance, np.float64)
+                assert edge_distance.shape == (len(predicted_edges),
+                                               len(label_edges))
             pi, li = linear_sum_assignment(edge_distance)
             edge_mask = edge_distance[pi, li] <= thresh
             pr_corners = pred_edges_vertices[pi[edge_mask]]
