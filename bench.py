@@ -60,7 +60,7 @@ def main() -> int:
     cfg = Config()
     cfg.data.num_points = points
     cfg.model.compute_dtype = dtype
-    cfg.model.use_pallas_encoder = use_pallas and not bench_train
+    cfg.model.use_pallas_encoder = use_pallas
     cfg.train.device_augment = False
     cfg.__post_init__()
 

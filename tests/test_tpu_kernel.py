@@ -85,6 +85,62 @@ print("TPU_KERNEL_OK")
 """
 
 
+_CHILD_GRAD = r"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+assert jax.devices()[0].platform != "cpu", f"no TPU: {jax.devices()}"
+
+from wireframe_tpu.ops.pallas_chain_grad import make_differentiable_chain
+from wireframe_tpu.ops.pallas_encoder import point_encoder_reference
+
+r = np.random.default_rng(0)
+b, n, d, c = 2, 512, 8, 512
+dims = (512, 1024, 2048, 1024)
+x = jnp.asarray(r.normal(size=(b, n, d)).astype(np.float32))
+
+params = []
+prev = d
+for h in dims:
+    params.append((jnp.asarray(r.normal(size=(prev, h)).astype(np.float32) * 0.05),
+                   jnp.asarray(r.normal(size=(h,)).astype(np.float32) * 0.01),
+                   jnp.ones((h,), jnp.float32),
+                   jnp.zeros((h,), jnp.float32)))
+    prev = h
+params = tuple(params)
+fw = jnp.asarray(r.normal(size=(prev, c)).astype(np.float32) * 0.05)
+fb = jnp.asarray(r.normal(size=(c,)).astype(np.float32) * 0.01)
+
+chain = make_differentiable_chain(tile=256, compute_dtype=jnp.bfloat16,
+                                  interpret=False)
+
+def loss(fn):
+    def inner(x, sp, fw, fb):
+        feats = fn(x, sp, fw, fb)
+        return jnp.sum(feats ** 2) * 1e-3 + jnp.sum(jnp.cos(feats * 0.1))
+    return inner
+
+ref = lambda x, sp, fw, fb: point_encoder_reference(
+    x, sp, fw, fb, compute_dtype=jnp.bfloat16)
+
+g_k = jax.jit(jax.grad(loss(chain), argnums=(0, 1, 2, 3)))(x, params, fw, fb)
+g_r = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2, 3)))(x, params, fw, fb)
+
+fk, tk = jax.tree_util.tree_flatten(g_k)
+fr, tr = jax.tree_util.tree_flatten(g_r)
+assert tk == tr
+for a, w in zip(fk, fr):
+    a, w = np.asarray(a), np.asarray(w)
+    scale = max(np.abs(w).max(), 1e-3)
+    # bf16 MXU rounding differs between the compiled paths; the guard is
+    # against systematic drift, not ulp noise.
+    np.testing.assert_allclose(a / scale, w / scale, rtol=0, atol=6e-2)
+    assert np.median(np.abs(a - w)) <= 2e-3 * scale
+print("TPU_GRAD_OK")
+"""
+
+
 def _tpu_reachable() -> bool:
     probe = ("import jax; d=jax.devices(); "
              "print('ok' if d[0].platform != 'cpu' else 'cpu')")
@@ -111,3 +167,21 @@ def test_fused_encoder_matches_xla_compiled_on_tpu():
         capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "TPU_KERNEL_OK" in proc.stdout
+
+
+@pytest.mark.tpu
+def test_chain_grad_matches_xla_compiled_on_tpu():
+    """Custom-VJP backward kernel (rematerializing, VMEM-resident grad
+    accumulators) vs XLA autodiff of the reference chain — compiled on
+    the real chip (the interpret-mode twin is tests/test_pallas_chain_grad)."""
+    if not _tpu_reachable():
+        pytest.skip("no TPU reachable from a clean subprocess")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD_GRAD], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TPU_GRAD_OK" in proc.stdout

@@ -29,6 +29,48 @@ import jax.numpy as jnp
 from wireframe_tpu.ops.pairs import triu_pairs
 
 
+class PairDense(nn.Module):
+    """First edge-MLP layer, computed distributively (ROADMAP #6).
+
+    A Dense over the concatenated pair features [f_i ‖ f_j ‖ x_i ‖ x_j ‖
+    dist] distributes over the concatenation:
+
+        W @ [f_i ‖ f_j ‖ x_i ‖ x_j ‖ d]
+          = (f W1 + x W3)[i] + (f W2 + x W4)[j] + d w5 + b
+
+    so the 1031-wide matmul runs over the V=64 vertex rows instead of the
+    E=V(V-1)/2=2016 pair rows (~32x fewer layer-1 FLOPs) and the
+    (B, E, 1031) concatenated tensor — ~1 GB at B=128 — is never
+    materialized; only the (B, E, F) layer output exists, which the old
+    formulation produced anyway.  Exact same math as nn.Dense modulo
+    float reassociation; the kernel/bias params keep nn.Dense's exact
+    shape, names, and init, so reference-checkpoint transplantation
+    (train/checkpoint.py: edge_mlp.0 -> Dense_2) is unchanged.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray, x: jnp.ndarray, dist: jnp.ndarray,
+                 i_idx: jnp.ndarray, j_idx: jnp.ndarray) -> jnp.ndarray:
+        h = f.shape[-1]
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2 * h + 2 * c + 1, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        f = f.astype(self.dtype)
+        x = x.astype(self.dtype)
+        w_fi, w_fj = k[:h], k[h:2 * h]
+        w_ci, w_cj = k[2 * h:2 * h + c], k[2 * h + c:2 * h + 2 * c]
+        w_d = k[2 * h + 2 * c]                       # (F,)
+        u_i = jnp.dot(f, w_fi) + jnp.dot(x, w_ci)    # (B, V, F)
+        u_j = jnp.dot(f, w_fj) + jnp.dot(x, w_cj)
+        return (u_i[:, i_idx] + u_j[:, j_idx]
+                + dist.astype(self.dtype) * w_d + bias.astype(self.dtype))
+
+
 class EdgePredictor(nn.Module):
     vertex_dim: int = 3
     hidden_dim: int = 512
@@ -98,11 +140,9 @@ class EdgePredictor(nn.Module):
         )(f, f, f, mask=attn_mask)
         f = f + attended  # residual (EdgePredictor.py:114)
 
-        # Static pair gather.
+        # Static pair table; coordinate pair terms.
         pairs = triu_pairs(v)  # (E, 2) int32
         i_idx, j_idx = pairs[:, 0], pairs[:, 1]
-        f1 = f[:, i_idx, :]       # (B, E, H)
-        f2 = f[:, j_idx, :]
         c1 = x[:, i_idx, :]       # (B, E, 3)
         c2 = x[:, j_idx, :]
         # Safe norm: d(sqrt(x))/dx blows up at 0, and two predicted
@@ -113,20 +153,23 @@ class EdgePredictor(nn.Module):
         d2 = jnp.sum(jnp.square(c1 - c2), axis=-1, keepdims=True)
         dist = jnp.sqrt(d2 + 1e-12)
 
-        pair_feats = jnp.concatenate([f1, f2, c1, c2, dist], axis=-1)
-
-        # Edge MLP (EdgePredictor.py:56-68).
-        y = nn.Dense(h, dtype=self.dtype)(pair_feats)
+        # Edge MLP (EdgePredictor.py:56-68).  Layer 1 = Dense over the
+        # implicit concat [f_i ‖ f_j ‖ x_i ‖ x_j ‖ dist], computed
+        # distributively at V rows instead of E (see PairDense).
+        y = PairDense(h, dtype=self.dtype, name="Dense_2")(
+            f, x, dist, i_idx, j_idx)
         y = nn.LayerNorm(dtype=jnp.float32)(y)
         y = nn.gelu(y)
         y = nn.Dropout(self.mlp_dropout, deterministic=deterministic)(y)
-        y = nn.Dense(h // 2, dtype=self.dtype)(y)
+        # Names pinned: the explicit "Dense_2" above doesn't advance
+        # flax's anonymous-Dense counter, so auto-naming would collide.
+        y = nn.Dense(h // 2, dtype=self.dtype, name="Dense_3")(y)
         y = nn.LayerNorm(dtype=jnp.float32)(y)
         y = nn.gelu(y)
         y = nn.Dropout(self.mlp_dropout, deterministic=deterministic)(y)
-        y = nn.Dense(h // 4, dtype=self.dtype)(y)
+        y = nn.Dense(h // 4, dtype=self.dtype, name="Dense_4")(y)
         y = nn.gelu(y)
-        logits = nn.Dense(1, dtype=self.dtype)(y)[..., 0]  # (B, E)
+        logits = nn.Dense(1, dtype=self.dtype, name="Dense_5")(y)[..., 0]
         logits = logits.astype(jnp.float32)
 
         # Both endpoints must be live.  (Under the prefix convention j > i

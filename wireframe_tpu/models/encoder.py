@@ -71,6 +71,11 @@ class PointNetEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     return_point_features: bool = False
     use_pallas: bool = False
+    # With use_pallas, pick the kernel flavor: the fully fused
+    # inference kernel (pools in-kernel, no autodiff) or the
+    # custom-VJP chain (ops.pallas_chain_grad) whose backward
+    # rematerializes activations in VMEM — the training path.
+    differentiable: bool = False
     # 512 measured fastest on v5e at N=2560 (tile sweep: 128 -> 2666,
     # 256 -> 5763, 512 -> 6015 clouds/s encoder-only at B=128); N must
     # divide by the tile or the encoder falls back to the XLA path.
@@ -96,7 +101,28 @@ class PointNetEncoder(nn.Module):
         n = x.shape[1]
         use_pallas = self.use_pallas and (n % self.pallas_tile == 0)
         point_features = None
-        if use_pallas:
+        if use_pallas and self.differentiable:
+            # Training: fused custom-VJP chain for the point MLP; the
+            # pooling reductions stay in XLA so their gradients (incl.
+            # max tie-splitting) are identical to the plain-XLA path.
+            from wireframe_tpu.ops.pallas_chain_grad import (
+                make_differentiable_chain,
+            )
+
+            chain = make_differentiable_chain(
+                tile=self.pallas_tile, compute_dtype=self.dtype)
+            feats = chain(x.astype(jnp.float32), tuple(stage_params),
+                          final_w, final_b)                # (B, N, C) f32
+            mask = point_validity_mask(x)
+            pooled = {
+                "masked_max": masked_max(feats, mask),
+                "masked_mean": masked_mean(feats, mask),
+                "mean": jnp.mean(feats, axis=-2),
+                "max": jnp.max(feats, axis=-2),
+            }
+            if self.return_point_features:
+                point_features = feats
+        elif use_pallas:
             pooled = fused_point_encoder(
                 x.astype(jnp.float32), stage_params, final_w, final_b,
                 tile=self.pallas_tile,

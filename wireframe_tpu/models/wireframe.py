@@ -53,9 +53,11 @@ class PointCloudToWireframe(nn.Module):
             # must be materialized regardless of the HBM-saving default.
             return_point_features=(cfg.return_point_features
                                    or use_query_head),
-            # The fused kernel has no autodiff rule; training takes the
-            # XLA path (same params), inference takes the kernel.
-            use_pallas=cfg.use_pallas_encoder and not train,
+            # Inference takes the fully fused kernel (pools in-kernel);
+            # training takes the custom-VJP chain kernel whose backward
+            # rematerializes activations in VMEM (VERDICT r1 #4).
+            use_pallas=cfg.use_pallas_encoder,
+            differentiable=train,
             pallas_tile=cfg.pallas_tile,
             name="encoder",
         )

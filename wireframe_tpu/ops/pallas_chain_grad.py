@@ -1,0 +1,329 @@
+"""Differentiable fused Pallas point-MLP chain (forward + custom VJP).
+
+Training companion to `ops.pallas_encoder.fused_point_encoder`
+(VERDICT r1 #4 / ROADMAP #5): the inference kernel fuses the 5-stage
+per-point MLP *and* the pooling reductions but has no autodiff rule, so
+round-1 training fell back to the plain-XLA chain — the FLOPs-dominant
+path (SURVEY.md §3.3, reference models/PointNetEncoder.py:90-94) ran
+fused only at inference.
+
+This module makes the chain itself (x -> per-point features) a
+`jax.custom_vjp` op backed by two Pallas kernels:
+
+- **forward**: per point-tile, run the whole Linear+LayerNorm+ReLU stack
+  in VMEM (weights resident across the grid via constant index maps) and
+  write only the final (B, N, C) features.  No intermediate activation
+  ever touches HBM — under plain XLA every stage output (~20 KB/point
+  f32) is both written out AND saved as an autodiff residual.
+- **backward**: rematerialization.  The only residuals saved are the
+  *inputs* (x and the parameters).  Per tile the kernel recomputes the
+  stage activations (keeping the LayerNorm normalized values and rstd in
+  VMEM), then backpropagates ReLU -> LayerNorm -> matmul per stage,
+  accumulating all parameter gradients in f32 VMEM accumulator blocks
+  that are revisited across the whole grid and written back once.
+
+Pooling is deliberately NOT part of this op during training: the masked/
+unmasked mean/max reductions stay in XLA (ops.masked_pool), so their
+gradients — including max tie-splitting semantics — are bit-identical to
+the plain-XLA training path the gradient-equality tests compare against.
+
+VMEM budget per grid step at tile=512 (v5e has 128 MiB/core): bf16
+weights ~11.5 MB + f32 gradient accumulators ~22 MB + f32 normalized
+activations ~10.5 MB + transients — comfortably under budget; tile=256
+halves the activation term if ever needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wireframe_tpu.ops.pallas_encoder import _ln, _on_tpu
+
+
+def _row2d(p: jnp.ndarray) -> jnp.ndarray:
+    """(H,) -> (1, H) f32 for TPU-friendly >=2D VMEM layout."""
+    return p.reshape(1, -1).astype(jnp.float32)
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda bi, ti, _n=nd: (0,) * _n,
+                        memory_space=pltpu.VMEM)
+
+
+def _pack_params(stage_params, final_w, final_b, cdt):
+    """Flatten params the way both kernels expect: per stage
+    (w cdt, b row f32, ln_scale row f32, ln_bias row f32), then final_w
+    cdt and final_b row f32.  Returns (flat_list, in_specs)."""
+    flat: List[jnp.ndarray] = []
+    specs = []
+    for (w, b, g, be) in stage_params:
+        for p in (w.astype(cdt), _row2d(b), _row2d(g), _row2d(be)):
+            flat.append(p)
+            specs.append(_const_spec(p.shape))
+    flat.append(final_w.astype(cdt))
+    specs.append(_const_spec(final_w.shape))
+    flat.append(_row2d(final_b))
+    specs.append(_const_spec(flat[-1].shape))
+    return flat, specs
+
+
+def _recompute_stages(x_tile, stage_refs, cdt, eps=1e-6):
+    """Forward recompute for one tile, keeping what backward needs.
+
+    Returns (hs, xhats, rstds): hs[k] is the cdt input to stage k's
+    matmul (hs[-1] feeds the final projection), xhats[k]/rstds[k] are the
+    LayerNorm normalized values / reciprocal stddevs (f32).
+    """
+    h = x_tile.astype(cdt)
+    hs, xhats, rstds = [h], [], []
+    for (w_ref, b_ref, g_ref, be_ref) in stage_refs:
+        z = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+        z = z + b_ref[0]
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(z - mu), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (z - mu) * rstd
+        ln = xhat * g_ref[0] + be_ref[0]
+        h = jnp.maximum(ln, 0.0).astype(cdt)
+        hs.append(h)
+        xhats.append(xhat)
+        rstds.append(rstd)
+    return hs, xhats, rstds
+
+
+def _chain_forward_pallas(x, stage_params, final_w, final_b,
+                          *, tile, cdt, interpret):
+    """Fused forward: (B, N, D) -> per-point features (B, N, C) f32."""
+    b, n, d = x.shape
+    c = final_w.shape[-1]
+    n_stages = len(stage_params)
+    assert n % tile == 0, f"N={n} not divisible by tile={tile}"
+    grid = (b, n // tile)
+
+    flat_params, param_specs = _pack_params(stage_params, final_w,
+                                            final_b, cdt)
+    in_specs = [
+        pl.BlockSpec((1, tile, d), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        *param_specs,
+    ]
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        stage_refs = [refs[1 + 4 * i: 1 + 4 * (i + 1)]
+                      for i in range(n_stages)]
+        fw_ref = refs[1 + 4 * n_stages]
+        fb_ref = refs[2 + 4 * n_stages]
+        out_ref = refs[3 + 4 * n_stages]
+
+        h = x_ref[0].astype(cdt)
+        for (w_ref, b_ref, g_ref, be_ref) in stage_refs:
+            h = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+            h = _ln(h + b_ref[0], g_ref[0], be_ref[0])
+            h = jnp.maximum(h, 0.0).astype(cdt)
+        out_ref[0] = jnp.dot(h, fw_ref[:],
+                             preferred_element_type=jnp.float32) + fb_ref[0]
+
+    stage_flops = sum(2 * w.shape[0] * w.shape[1]
+                      for (w, *_r) in stage_params)
+    stage_flops += 2 * final_w.shape[0] * final_w.shape[1]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * n * stage_flops,
+            bytes_accessed=x.size * 4 + b * n * c * 4
+            + sum(p.size * p.dtype.itemsize for p in flat_params),
+            transcendentals=0,
+        ),
+    )(x, *flat_params)
+
+
+def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
+                           *, tile, cdt, interpret):
+    """Rematerializing backward.
+
+    Args: primals (x (B,N,D) f32, params) and the cotangent g (B,N,C)
+    f32 of the forward's output features.
+    Returns (dx, dstage_params, dfinal_w, dfinal_b) — f32, matching the
+    primal pytree structure.
+    """
+    b, n, d = x.shape
+    c = final_w.shape[-1]
+    n_stages = len(stage_params)
+    grid = (b, n // tile)
+
+    flat_params, param_specs = _pack_params(stage_params, final_w,
+                                            final_b, cdt)
+    in_specs = [
+        pl.BlockSpec((1, tile, d), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        *param_specs,
+    ]
+
+    # Outputs: dx per tile + one f32 accumulator block per parameter,
+    # revisited across the whole (sequential) grid, written back once.
+    out_shape = [jax.ShapeDtypeStruct((b, n, d), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, tile, d), lambda bi, ti: (bi, ti, 0),
+                              memory_space=pltpu.VMEM)]
+    for (w, bb, gg, be) in stage_params:
+        for shape in (w.shape, (1,) + bb.shape, (1,) + gg.shape,
+                      (1,) + be.shape):
+            out_shape.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+            out_specs.append(_const_spec(shape))
+    out_shape.append(jax.ShapeDtypeStruct(final_w.shape, jnp.float32))
+    out_specs.append(_const_spec(final_w.shape))
+    out_shape.append(jax.ShapeDtypeStruct((1,) + final_b.shape, jnp.float32))
+    out_specs.append(_const_spec((1,) + final_b.shape))
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        g_ref = refs[1]
+        stage_refs = [refs[2 + 4 * i: 2 + 4 * (i + 1)]
+                      for i in range(n_stages)]
+        fw_ref = refs[2 + 4 * n_stages]
+        o = 4 + 4 * n_stages  # fb_ref at o-1 is unused in backward
+        dx_ref = refs[o]
+        dstage_refs = [refs[o + 1 + 4 * i: o + 1 + 4 * (i + 1)]
+                       for i in range(n_stages)]
+        dfw_ref = refs[o + 1 + 4 * n_stages]
+        dfb_ref = refs[o + 2 + 4 * n_stages]
+
+        first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            for dref in (*sum(dstage_refs, ()), dfw_ref, dfb_ref):
+                dref[...] = jnp.zeros(dref.shape, dref.dtype)
+
+        hs, xhats, rstds = _recompute_stages(x_ref[0], stage_refs, cdt)
+
+        gout = g_ref[0]                                    # (T, C) f32
+        dfb_ref[0] += jnp.sum(gout, axis=0)
+        g_cdt = gout.astype(cdt)
+        # dfw += h_last^T @ g;  dh = g @ fw^T
+        dfw_ref[...] += jax.lax.dot_general(
+            hs[-1], g_cdt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh = jax.lax.dot_general(
+            g_cdt, fw_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (T, H_last)
+
+        for k in reversed(range(n_stages)):
+            w_ref, _b_ref, gm_ref, be_ref = stage_refs[k]
+            dw_ref, db_ref, dg_ref, dbe_ref = dstage_refs[k]
+            xhat, rstd = xhats[k], rstds[k]
+            gamma = gm_ref[0]
+            ln = xhat * gamma + be_ref[0]
+            # ReLU backward with jnp.maximum's exact-tie rule (g/2 at 0).
+            dln = jnp.where(ln > 0, dh, jnp.where(ln < 0, 0.0, 0.5 * dh))
+            dg_ref[0] += jnp.sum(dln * xhat, axis=0)
+            dbe_ref[0] += jnp.sum(dln, axis=0)
+            dxhat = dln * gamma
+            m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+            m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+            dz = (dxhat - m1 - xhat * m2) * rstd           # (T, H) f32
+            db_ref[0] += jnp.sum(dz, axis=0)
+            dz_cdt = dz.astype(cdt)
+            dw_ref[...] += jax.lax.dot_general(
+                hs[k], dz_cdt, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh = jax.lax.dot_general(
+                dz_cdt, w_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (T, H_prev)
+
+        dx_ref[0] = dh
+
+    stage_flops = sum(2 * w.shape[0] * w.shape[1]
+                      for (w, *_r) in stage_params)
+    stage_flops += 2 * final_w.shape[0] * final_w.shape[1]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # Gradient accumulators are revisited across BOTH grid dims.
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # Default scoped-VMEM limit is 16 MB; this kernel legitimately
+            # holds ~22 MB of f32 grad accumulators + ~11.5 MB bf16
+            # weights + the tile's rematerialized activations (v5e VMEM
+            # is 128 MB/core).
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * n * stage_flops,  # recompute + dw + dx matmuls
+            bytes_accessed=(x.size + g.size + x.size) * 4
+            + 2 * sum(p.size * p.dtype.itemsize for p in flat_params),
+            transcendentals=0,
+        ),
+    )(x, g, *flat_params)
+
+    dx = outs[0]
+    dstages = []
+    i = 1
+    for _ in range(n_stages):
+        dw, db, dg, dbe = outs[i:i + 4]
+        dstages.append((dw, db[0], dg[0], dbe[0]))
+        i += 4
+    dfw = outs[i]
+    dfb = outs[i + 1][0]
+    return dx, tuple(dstages), dfw, dfb
+
+
+@functools.lru_cache(maxsize=None)
+def make_differentiable_chain(tile: int = 512,
+                              compute_dtype=jnp.bfloat16,
+                              interpret: bool = None):
+    """Build the custom-VJP fused point chain for the given statics.
+
+    Returned callable: chain(x, stage_params, final_w, final_b) ->
+    point features (B, N, C) f32, differentiable w.r.t. every input.
+    stage_params is a tuple of (w, b, ln_scale, ln_bias) tuples.
+    """
+    cdt = jnp.dtype(compute_dtype).type
+
+    def _resolve_interpret():
+        return (not _on_tpu()) if interpret is None else interpret
+
+    @jax.custom_vjp
+    def chain(x, stage_params, final_w, final_b):
+        return _chain_forward_pallas(
+            x, stage_params, final_w, final_b,
+            tile=tile, cdt=cdt, interpret=_resolve_interpret())
+
+    def chain_fwd(x, stage_params, final_w, final_b):
+        out = _chain_forward_pallas(
+            x, stage_params, final_w, final_b,
+            tile=tile, cdt=cdt, interpret=_resolve_interpret())
+        return out, (x, stage_params, final_w, final_b)
+
+    def chain_bwd(residuals, g):
+        x, stage_params, final_w, final_b = residuals
+        return _chain_backward_pallas(
+            x, stage_params, final_w, final_b, g,
+            tile=tile, cdt=cdt, interpret=_resolve_interpret())
+
+    chain.defvjp(chain_fwd, chain_bwd)
+    return chain
