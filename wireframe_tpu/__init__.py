@@ -16,6 +16,7 @@ edge P/R/F1 / WED) — but built TPU-first:
   axis, optional point-axis sharding with ICI collectives).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from wireframe_tpu.config import Config, load_config  # noqa: F401
+from wireframe_tpu.serve import WireframePredictor  # noqa: F401

@@ -41,6 +41,22 @@ def host_batch_slice(global_batch: int, process_index: int = None,
     return global_batch // pc
 
 
+def replicate_across_hosts(mesh: Mesh, tree):
+    """Fully replicate a pytree over a (possibly multi-process) mesh.
+
+    Every process must hold IDENTICAL values (e.g. params initialized
+    from the same PRNGKey) — each contributes its full copy as the
+    process-local data of a replicated global array.  Single-host this
+    is equivalent to `parallel.mesh.replicate`.
+    """
+    s = NamedSharding(mesh, P())
+
+    def put(x):
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def assemble_global_batch(mesh: Mesh, local_batch: dict,
                           batch_axis: str = "dp") -> dict:
     """Build global device arrays from per-host local batches.
@@ -54,10 +70,10 @@ def assemble_global_batch(mesh: Mesh, local_batch: dict,
     layout = batch_sharding(mesh)
     out = {}
     for k, v in local_batch.items():
+        # Keys outside the layout are replicated: every process
+        # contributes its full copy (device_put onto non-addressable
+        # devices is not portable).
         sharding = layout.get(k, NamedSharding(mesh, P()))
-        if k in layout:
-            out[k] = jax.make_array_from_process_local_data(
-                sharding, np.asarray(v))
-        else:
-            out[k] = jax.device_put(np.asarray(v), sharding)
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, np.asarray(v))
     return out
