@@ -114,7 +114,10 @@ class TrainConfig:
     log_every: int = 20
     checkpoint_every: int = 200
     checkpoint_dir: str = "checkpoints"
-    matcher: str = "device"           # "device" (JV on TPU) | "scipy" (callback)
+    # "auto" (pallas kernel on TPU, XLA loop elsewhere) | "device"
+    # (XLA-loop JV) | "pallas" (lockstep Pallas kernel) | "scipy"
+    # (host-callback oracle).
+    matcher: str = "auto"
     # Also keep the best-loss params and save them as step_<N>_best at the
     # end (the reference tracks best but saves final — quirk 6; this is
     # the documented "add best-checkpoint option").

@@ -48,7 +48,13 @@ class WireframeLossConfig:
     vertex_weight: float = 3.0
     edge_weight: float = 1.0
     existence_weight: float = 1.5
-    matcher: str = "device"  # "device" | "scipy"
+    # "device": vmapped XLA while-loop JV (ops/lsa.py) — portable.
+    # "pallas": batched lockstep JV in one Pallas program
+    #   (ops/pallas_lsa.py) — the TPU production path (~20x less loop
+    #   overhead than "device"; same optimal assignment cost).
+    # "scipy": host callback oracle (parity runs only).
+    # "auto": "pallas" on TPU backends, else "device".
+    matcher: str = "device"
     # Reference behavior (False): edge labels indexed by GT vertex order
     # are compared POSITIONALLY against pair probs indexed by prediction
     # slot order (train.py:61-88 vs WireframeLoss.py:80-86, quirk 4) —
@@ -136,7 +142,20 @@ def wireframe_loss(predictions: Dict[str, jnp.ndarray],
         cost_t = jnp.transpose(l1, (0, 2, 1)) + (
             2.0 - 2.0 * pred_p)[:, None, :]             # (B, Vtgt, Vpred)
         cost_t = jax.lax.stop_gradient(cost_t)          # matching is
-        slot4target = solve_lsa_rows_batch(cost_t, counts)   # non-diff'able
+        matcher = cfg.matcher                           # non-diff'able
+        if matcher == "auto":
+            matcher = ("pallas" if jax.default_backend() == "tpu"
+                       else "device")
+        if matcher == "pallas":
+            from wireframe_tpu.ops.pallas_lsa import solve_lsa_rows_pallas
+
+            # Off-TPU (tests picking "pallas" explicitly) the kernel runs
+            # in interpret mode; numerics are identical.
+            slot4target = solve_lsa_rows_pallas(
+                cost_t, counts,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            slot4target = solve_lsa_rows_batch(cost_t, counts)
 
         # Invert target->slot into the square-problem convention
         # (col4row[b, i] = target index matched to pred slot i, or a
