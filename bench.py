@@ -42,6 +42,8 @@ def _log(msg: str) -> None:
 
 
 def main() -> int:
+    from wireframe_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     import jax
     import jax.numpy as jnp
 

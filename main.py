@@ -69,6 +69,8 @@ def resolve_data_root(cli_root, allow_generate=True):
 
 
 def main(argv=None):
+    from wireframe_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     args = parse_args(argv)
 
     from wireframe_tpu.config import load_config

@@ -34,6 +34,8 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from wireframe_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     args = parse_args(argv)
 
     import jax

@@ -1,0 +1,28 @@
+"""Make the JAX_PLATFORMS env var authoritative for the CLIs.
+
+Some images install a sitecustomize that registers a TPU plugin AND sets
+the `jax_platforms` config directly, which silently overrides the
+JAX_PLATFORMS environment variable — `JAX_PLATFORMS=cpu python main.py`
+would still run on the TPU.  Every CLI calls `honor_env_platform()`
+before touching jax so the documented env-var contract actually holds.
+(tests/conftest.py and __graft_entry__.py do the same dance inline.)
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def honor_env_platform() -> None:
+    """If JAX_PLATFORMS is set, force jax.config to match it.
+
+    Must be called before any jax device/backend use.  No-op when the
+    env var is unset (the platform stays whatever the image default is,
+    e.g. the TPU plugin).
+    """
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not plat:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", plat)
