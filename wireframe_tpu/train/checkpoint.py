@@ -114,6 +114,18 @@ def apply_checkpoint_model_config(cfg: Config, meta: dict) -> Config:
                 current = getattr(cfg.model, key)
                 setattr(cfg.model, key,
                         tuple(value) if isinstance(current, tuple) else value)
+        # Keys added to ModelConfig AFTER this checkpoint was written
+        # restore with today's default, which may differ from the
+        # behavior the weights were trained under — make that loud
+        # instead of silent (ROADMAP #13).
+        stale = sorted(k for k in vars(cfg.model) if k not in saved)
+        if stale:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint metadata predates model config key(s) %s; "
+                "restoring with current defaults — verify they match the "
+                "training-time behavior", ", ".join(stale))
         cfg.data.max_vertices = cfg.model.max_vertices
     elif meta.get("max_vertices"):
         cfg.data.max_vertices = int(meta["max_vertices"])
