@@ -42,8 +42,12 @@ def _log(msg: str) -> None:
 
 
 def main() -> int:
-    from wireframe_tpu.utils.platform import honor_env_platform
+    from wireframe_tpu.utils.platform import (
+        enable_compile_cache,
+        honor_env_platform,
+    )
     honor_env_platform()
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

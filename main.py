@@ -69,8 +69,12 @@ def resolve_data_root(cli_root, allow_generate=True):
 
 
 def main(argv=None):
-    from wireframe_tpu.utils.platform import honor_env_platform
+    from wireframe_tpu.utils.platform import (
+        enable_compile_cache,
+        honor_env_platform,
+    )
     honor_env_platform()
+    enable_compile_cache()
     args = parse_args(argv)
 
     from wireframe_tpu.config import load_config

@@ -40,8 +40,12 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    from wireframe_tpu.utils.platform import honor_env_platform
+    from wireframe_tpu.utils.platform import (
+        enable_compile_cache,
+        honor_env_platform,
+    )
     honor_env_platform()
+    enable_compile_cache()
     args = parse_args(argv)
 
     import jax

@@ -62,14 +62,9 @@ class WireframePredictor:
         )
         from wireframe_tpu.train.step import make_forward_fn
 
-        if cache_dir is None:
-            cache_dir = os.environ.get("WIREFRAME_XLA_CACHE",
-                                       "/tmp/wireframe_tpu_xla_cache")
-        if cache_dir:
-            try:
-                jax.config.update("jax_compilation_cache_dir", cache_dir)
-            except Exception:
-                pass  # older jax or cache already configured
+        from wireframe_tpu.utils.platform import enable_compile_cache
+
+        enable_compile_cache(cache_dir)
 
         cfg = load_config(config, list(overrides))
         payload, meta = load_checkpoint(checkpoint_dir, step)

@@ -26,3 +26,25 @@ def honor_env_platform() -> None:
     import jax
 
     jax.config.update("jax_platforms", plat)
+
+
+def enable_compile_cache(cache_dir: str = None) -> None:
+    """Point JAX's persistent compilation cache at a shared directory.
+
+    Full-model train-step compiles take minutes on TPU; with the cache,
+    a rerun of the same shapes (train resume, eval after train, repeated
+    bench) loads the compiled program in seconds.  Same default location
+    as `serve.WireframePredictor`; set WIREFRAME_XLA_CACHE="" to disable.
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get("WIREFRAME_XLA_CACHE",
+                                   "/tmp/wireframe_tpu_xla_cache")
+    if not cache_dir:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # cache flags unavailable on this jax — run without
+        pass
