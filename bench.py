@@ -70,12 +70,15 @@ def main() -> int:
     cfg.train.device_augment = False
     cfg.__post_init__()
 
-    try:  # persistent compile cache: repeat bench runs skip recompiles
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_CACHE_DIR",
-                                         "/tmp/jax_compile_cache"))
-    except Exception:
-        pass
+    # Persistent compile cache shared with the other CLIs is enabled at
+    # the top of main() (utils.platform.enable_compile_cache); honor the
+    # legacy JAX_CACHE_DIR override if a caller still sets it.
+    if os.environ.get("JAX_CACHE_DIR"):
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_CACHE_DIR"])
+        except Exception:
+            pass
 
     dev = jax.devices()[0]
     _log("init params (tiny shape)")
