@@ -177,3 +177,60 @@ def test_train_step_pallas_matches_xla_trajectory(rng):
     assert all(np.isfinite(losses_pallas))
     np.testing.assert_allclose(losses_pallas, losses_xla,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_stash_backward_matches_remat_f32(rng):
+    """backward="stash" stores pre-LN activations instead of
+    rematerializing; in f32 the stored z round-trips exactly, so the
+    gradients must match the remat path to accumulation-order noise."""
+    b, n, d, c = 2, 128, 8, 32
+    sp, fw, fb = make_params(rng, d, [16, 32, 64], c)
+    sp = tuple(sp)
+    x = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+
+    remat = make_differentiable_chain(tile=64, compute_dtype=jnp.float32,
+                                      backward="remat")
+    stash = make_differentiable_chain(tile=64, compute_dtype=jnp.float32,
+                                      backward="stash")
+    np.testing.assert_array_equal(np.asarray(remat(x, sp, fw, fb)),
+                                  np.asarray(stash(x, sp, fw, fb)))
+    _assert_tree_close(_grads(remat, x, sp, fw, fb),
+                       _grads(stash, x, sp, fw, fb),
+                       rtol=1e-4, atol=1e-4)
+
+
+def test_stash_backward_bf16_gate_semantics(rng):
+    """In bf16 the stash gradient is the EXACT gradient of the
+    bf16-rounded forward: reconstructing ln from stored bf16 z can flip
+    the ReLU gate on near-zero activations.  Contract: parameter
+    gradients (averaged over the tile) stay close, and elementwise dx
+    differs only on a small fraction of gate-flip positions."""
+    b, n, d, c = 2, 128, 8, 32
+    sp, fw, fb = make_params(rng, d, [16, 32, 64], c)
+    sp = tuple(sp)
+    x = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+
+    remat = make_differentiable_chain(tile=64, compute_dtype=jnp.bfloat16,
+                                      backward="remat")
+    stash = make_differentiable_chain(tile=64, compute_dtype=jnp.bfloat16,
+                                      backward="stash")
+    # Identical forward (stash stores z but computes h from the same f32 z).
+    np.testing.assert_array_equal(np.asarray(remat(x, sp, fw, fb)),
+                                  np.asarray(stash(x, sp, fw, fb)))
+
+    g1 = _grads(remat, x, sp, fw, fb)
+    g2 = _grads(stash, x, sp, fw, fb)
+    # A flipped gate zeroes/unzeroes one row's contribution, which can
+    # move individual small entries arbitrarily far in relative terms —
+    # the meaningful contract is that each gradient TENSOR is close in
+    # norm (training-direction equivalence), with a bounded flip count.
+    for ga, gb in zip(jax.tree_util.tree_leaves(g1),
+                      jax.tree_util.tree_leaves(g2)):
+        a, b = np.asarray(ga, np.float64), np.asarray(gb, np.float64)
+        denom = np.linalg.norm(a) + 1e-6
+        rel = np.linalg.norm(a - b) / denom
+        assert rel < 0.05, f"relative grad-norm error {rel:.3f}"
+    dx1, dx2 = np.asarray(g1[0]), np.asarray(g2[0])
+    rel = np.abs(dx1 - dx2) / (np.abs(dx1) + np.abs(dx2) + 1e-3)
+    flips = rel > 0.05
+    assert flips.mean() < 0.05, f"gate-flip fraction {flips.mean():.3f}"

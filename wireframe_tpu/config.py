@@ -89,6 +89,9 @@ class ModelConfig:
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     use_pallas_encoder: bool = False  # fused Pallas point-MLP+pool kernel
     pallas_tile: int = 512            # points per kernel grid step
+    # Training backward flavor for the fused encoder: "remat" (minimal
+    # HBM, 3x-forward MXU) | "stash" (store pre-LN activations, 2x MXU).
+    chain_backward: str = "remat"
     return_point_features: bool = False  # skip (B,N,512) HBM write when False
 
 

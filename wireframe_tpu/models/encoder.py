@@ -80,6 +80,10 @@ class PointNetEncoder(nn.Module):
     # 256 -> 5763, 512 -> 6015 clouds/s encoder-only at B=128); N must
     # divide by the tile or the encoder falls back to the XLA path.
     pallas_tile: int = 512
+    # Custom-VJP backward flavor: "remat" (recompute activations in the
+    # backward kernel) or "stash" (forward stores pre-LN activations,
+    # backward skips the recompute matmuls) — ops/pallas_chain_grad.py.
+    chain_backward: str = "remat"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -110,7 +114,8 @@ class PointNetEncoder(nn.Module):
             )
 
             chain = make_differentiable_chain(
-                tile=self.pallas_tile, compute_dtype=self.dtype)
+                tile=self.pallas_tile, compute_dtype=self.dtype,
+                backward=self.chain_backward)
             feats = chain(x.astype(jnp.float32), tuple(stage_params),
                           final_w, final_b)                # (B, N, C) f32
             mask = point_validity_mask(x)

@@ -59,6 +59,7 @@ class PointCloudToWireframe(nn.Module):
             use_pallas=cfg.use_pallas_encoder,
             differentiable=train,
             pallas_tile=cfg.pallas_tile,
+            chain_backward=cfg.chain_backward,
             name="encoder",
         )
         global_features, pooled, point_features = encoder(point_cloud)

@@ -155,12 +155,117 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
     )(x, *flat_params)
 
 
-def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
-                           *, tile, cdt, interpret):
-    """Rematerializing backward.
+def _stage_widths(stage_params):
+    return [w.shape[1] for (w, *_r) in stage_params]
 
-    Args: primals (x (B,N,D) f32, params) and the cotangent g (B,N,C)
-    f32 of the forward's output features.
+
+def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
+                                *, tile, cdt, interpret):
+    """Fused forward that ALSO writes each stage's pre-LayerNorm
+    activations z_k (in `cdt`) to HBM, so the stash backward can skip
+    the recompute matmuls entirely (~1/3 of the remat backward's MXU
+    work for ~2x the chain's HBM activation traffic — a win whenever
+    the chain is compute-bound, which it is at the production widths).
+
+    Returns (features (B, N, C) f32, tuple of z_k (B, N, H_k) cdt).
+    """
+    b, n, d = x.shape
+    c = final_w.shape[-1]
+    n_stages = len(stage_params)
+    assert n % tile == 0, f"N={n} not divisible by tile={tile}"
+    grid = (b, n // tile)
+
+    flat_params, param_specs = _pack_params(stage_params, final_w,
+                                            final_b, cdt)
+    in_specs = [
+        pl.BlockSpec((1, tile, d), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        *param_specs,
+    ]
+    widths = _stage_widths(stage_params)
+    out_shape = [jax.ShapeDtypeStruct((b, n, c), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
+                              memory_space=pltpu.VMEM)]
+    for h in widths:
+        out_shape.append(jax.ShapeDtypeStruct((b, n, h), cdt))
+        out_specs.append(pl.BlockSpec((1, tile, h),
+                                      lambda bi, ti: (bi, ti, 0),
+                                      memory_space=pltpu.VMEM))
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        stage_refs = [refs[1 + 4 * i: 1 + 4 * (i + 1)]
+                      for i in range(n_stages)]
+        fw_ref = refs[1 + 4 * n_stages]
+        fb_ref = refs[2 + 4 * n_stages]
+        out_ref = refs[3 + 4 * n_stages]
+        z_refs = refs[4 + 4 * n_stages:]
+
+        h = x_ref[0].astype(cdt)
+        for k, (w_ref, b_ref, g_ref, be_ref) in enumerate(stage_refs):
+            z = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+            z = z + b_ref[0]
+            z_refs[k][0] = z.astype(cdt)
+            h = jnp.maximum(_ln(z, g_ref[0], be_ref[0]), 0.0).astype(cdt)
+        out_ref[0] = jnp.dot(h, fw_ref[:],
+                             preferred_element_type=jnp.float32) + fb_ref[0]
+
+    stage_flops = sum(2 * w.shape[0] * w.shape[1]
+                      for (w, *_r) in stage_params)
+    stage_flops += 2 * final_w.shape[0] * final_w.shape[1]
+    z_bytes = sum(b * n * h * jnp.dtype(cdt).itemsize for h in widths)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * n * stage_flops,
+            bytes_accessed=x.size * 4 + b * n * c * 4 + z_bytes
+            + sum(p.size * p.dtype.itemsize for p in flat_params),
+            transcendentals=0,
+        ),
+    )(x, *flat_params)
+    return outs[0], tuple(outs[1:])
+
+
+def _stages_from_z(x_tile, z_list, stage_refs, cdt, eps=1e-6):
+    """Reconstruct what backward needs from STORED pre-LN activations:
+    no matmuls, only LayerNorm statistics + ReLU (VPU work).
+
+    Same return contract as `_recompute_stages`.  z was stored in `cdt`,
+    so the reconstructed statistics differ from the forward's f32 ones
+    at cdt precision — bounded by the gradient-equality tests.
+    """
+    hs, xhats, rstds = [x_tile.astype(cdt)], [], []
+    for (z_ref_val, (w_ref, b_ref, g_ref, be_ref)) in zip(z_list, stage_refs):
+        z = z_ref_val.astype(jnp.float32)
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(z - mu), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (z - mu) * rstd
+        ln = xhat * g_ref[0] + be_ref[0]
+        hs.append(jnp.maximum(ln, 0.0).astype(cdt))
+        xhats.append(xhat)
+        rstds.append(rstd)
+    return hs, xhats, rstds
+
+
+def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
+                           *, tile, cdt, interpret, zs=None):
+    """Backward pass: rematerializing by default, stash-driven with zs.
+
+    Args: primals (x (B,N,D) f32, params), the cotangent g (B,N,C) f32
+    of the forward's output features, and optionally `zs` — the tuple of
+    stored pre-LN activations from `_chain_forward_stash_pallas`.  With
+    zs the per-tile recompute needs NO matmuls (LN stats + ReLU only),
+    cutting the kernel's MXU work from 3x to 2x the forward.
     Returns (dx, dstage_params, dfinal_w, dfinal_b) — f32, matching the
     primal pytree structure.
     """
@@ -171,11 +276,21 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
 
     flat_params, param_specs = _pack_params(stage_params, final_w,
                                             final_b, cdt)
+    z_specs = []
+    z_inputs = ()
+    if zs is not None:
+        z_inputs = tuple(zs)
+        for z in z_inputs:
+            h = z.shape[-1]
+            z_specs.append(pl.BlockSpec(
+                (1, tile, h), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((1, tile, d), lambda bi, ti: (bi, ti, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
                      memory_space=pltpu.VMEM),
+        *z_specs,
         *param_specs,
     ]
 
@@ -194,13 +309,17 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
     out_shape.append(jax.ShapeDtypeStruct((1,) + final_b.shape, jnp.float32))
     out_specs.append(_const_spec((1,) + final_b.shape))
 
+    n_z = len(z_inputs)
+
     def kernel(*refs):
         x_ref = refs[0]
         g_ref = refs[1]
-        stage_refs = [refs[2 + 4 * i: 2 + 4 * (i + 1)]
+        z_refs = refs[2: 2 + n_z]
+        p0 = 2 + n_z
+        stage_refs = [refs[p0 + 4 * i: p0 + 4 * (i + 1)]
                       for i in range(n_stages)]
-        fw_ref = refs[2 + 4 * n_stages]
-        o = 4 + 4 * n_stages  # fb_ref at o-1 is unused in backward
+        fw_ref = refs[p0 + 4 * n_stages]
+        o = p0 + 2 + 4 * n_stages  # fb_ref at o-1 is unused in backward
         dx_ref = refs[o]
         dstage_refs = [refs[o + 1 + 4 * i: o + 1 + 4 * (i + 1)]
                        for i in range(n_stages)]
@@ -214,7 +333,11 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
             for dref in (*sum(dstage_refs, ()), dfw_ref, dfb_ref):
                 dref[...] = jnp.zeros(dref.shape, dref.dtype)
 
-        hs, xhats, rstds = _recompute_stages(x_ref[0], stage_refs, cdt)
+        if n_z:
+            hs, xhats, rstds = _stages_from_z(
+                x_ref[0], [zr[0] for zr in z_refs], stage_refs, cdt)
+        else:
+            hs, xhats, rstds = _recompute_stages(x_ref[0], stage_refs, cdt)
 
         gout = g_ref[0]                                    # (T, C) f32
         dfb_ref[0] += jnp.sum(gout, axis=0)
@@ -273,12 +396,14 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=3 * b * n * stage_flops,  # recompute + dw + dx matmuls
+            # remat: recompute + dw + dx matmuls; stash: dw + dx only.
+            flops=(2 if n_z else 3) * b * n * stage_flops,
             bytes_accessed=(x.size + g.size + x.size) * 4
+            + sum(z.size * z.dtype.itemsize for z in z_inputs)
             + 2 * sum(p.size * p.dtype.itemsize for p in flat_params),
             transcendentals=0,
         ),
-    )(x, g, *flat_params)
+    )(x, g, *z_inputs, *flat_params)
 
     dx = outs[0]
     dstages = []
@@ -295,13 +420,24 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
 @functools.lru_cache(maxsize=None)
 def make_differentiable_chain(tile: int = 512,
                               compute_dtype=jnp.bfloat16,
-                              interpret: bool = None):
+                              interpret: bool = None,
+                              backward: str = "remat"):
     """Build the custom-VJP fused point chain for the given statics.
 
     Returned callable: chain(x, stage_params, final_w, final_b) ->
     point features (B, N, C) f32, differentiable w.r.t. every input.
     stage_params is a tuple of (w, b, ln_scale, ln_bias) tuples.
+
+    backward:
+      "remat" — save only the inputs; backward recomputes activations
+        per tile (3x forward MXU work, minimal HBM).
+      "stash" — forward also writes each stage's pre-LN activations in
+        `compute_dtype`; backward reconstructs from them with LN stats +
+        ReLU only (2x forward MXU work, ~2x chain HBM activation
+        traffic).  Faster when compute-bound; gradients differ from
+        remat at compute_dtype precision (z round-trips through cdt).
     """
+    assert backward in ("remat", "stash"), backward
     cdt = jnp.dtype(compute_dtype).type
 
     def _resolve_interpret():
@@ -314,16 +450,21 @@ def make_differentiable_chain(tile: int = 512,
             tile=tile, cdt=cdt, interpret=_resolve_interpret())
 
     def chain_fwd(x, stage_params, final_w, final_b):
+        if backward == "stash":
+            out, zs = _chain_forward_stash_pallas(
+                x, stage_params, final_w, final_b,
+                tile=tile, cdt=cdt, interpret=_resolve_interpret())
+            return out, (x, stage_params, final_w, final_b, zs)
         out = _chain_forward_pallas(
             x, stage_params, final_w, final_b,
             tile=tile, cdt=cdt, interpret=_resolve_interpret())
-        return out, (x, stage_params, final_w, final_b)
+        return out, (x, stage_params, final_w, final_b, None)
 
     def chain_bwd(residuals, g):
-        x, stage_params, final_w, final_b = residuals
+        x, stage_params, final_w, final_b, zs = residuals
         return _chain_backward_pallas(
             x, stage_params, final_w, final_b, g,
-            tile=tile, cdt=cdt, interpret=_resolve_interpret())
+            tile=tile, cdt=cdt, interpret=_resolve_interpret(), zs=zs)
 
     chain.defvjp(chain_fwd, chain_bwd)
     return chain
