@@ -21,6 +21,9 @@ _CHILD = r"""
 import numpy as np
 import jax
 import jax.numpy as jnp
+from wireframe_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()  # repeat runs load the compiled programs
 
 assert jax.devices()[0].platform != "cpu", f"no TPU: {jax.devices()}"
 
@@ -89,6 +92,9 @@ _CHILD_GRAD = r"""
 import numpy as np
 import jax
 import jax.numpy as jnp
+from wireframe_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()  # the reference-grad XLA compile is minutes cold
 
 assert jax.devices()[0].platform != "cpu", f"no TPU: {jax.devices()}"
 
