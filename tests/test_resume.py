@@ -43,6 +43,9 @@ def small_cfg(corpus, ckdir):
     cfg.model.edge_hidden_dim = 32
     cfg.model.edge_num_heads = 2
     cfg.train.device_augment = False
+    # Single-device: resume determinism is what's under test here (the
+    # auto-mesh path has its own coverage in test_sharding.py).
+    cfg.parallel.dp = 1
     cfg.train.num_epochs = 6
     cfg.train.log_every = 2
     cfg.train.checkpoint_every = 3
@@ -55,6 +58,7 @@ def small_cfg(corpus, ckdir):
     return cfg
 
 
+@pytest.mark.slow
 def test_periodic_checkpoint_and_resume(tmp_path, corpus):
     """One training run covers both: the mid-run checkpoint is written,
     and a second run restored from it continues (single compile budget

@@ -23,6 +23,32 @@ import numpy as np
 from wireframe_tpu.data.building3d import Building3DDataset, collate_fixed
 
 
+class ArrayBatchLoader:
+    """In-memory loader over pre-collated fixed-shape batches.
+
+    Presents the same surface `train_model` consumes from `BatchLoader`
+    (`__len__`, iteration, `.epoch`, `.batch_size`, `.dataset`,
+    `.drop_last`) for synthetic / already-materialized data — used by
+    the multichip dryrun and sharding tests so they exercise the real
+    production loop instead of a private copy of it.
+    """
+
+    def __init__(self, batches):
+        self.batches = list(batches)
+        self.dataset = self.batches
+        self.batch_size = (len(self.batches[0]["point_clouds"])
+                           if self.batches else 0)
+        self.drop_last = False
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[dict]:
+        self.epoch += 1
+        return iter(self.batches)
+
+
 class BatchLoader:
     def __init__(self, dataset: Building3DDataset, batch_size: int,
                  max_vertices: int, shuffle: bool = True,

@@ -24,6 +24,58 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def resolve_mesh(cfg, devices: Optional[Sequence] = None,
+                 batch_size: Optional[int] = None) -> Optional[Mesh]:
+    """Consume `Config.parallel` into a Mesh, or None for single-device.
+
+    This is the driver-facing entry: `train_model` (and through it
+    `main.py --set parallel.dp=... parallel.mp=...`) calls it so the
+    ParallelConfig the user writes is what actually shapes the run.
+
+    Rules:
+      * explicit dp>1 / mp>1 fail loudly when the device count, the
+        global batch (train.batch_size % dp) or the point count
+        (data.num_points % mp) does not divide — never silently fall
+        back to one chip;
+      * dp == -1 (the default) auto-scales: the largest data-parallel
+        width that divides the global batch and fits the device count,
+        so a default run on a v5e-8 trains on all 8 chips when shapes
+        allow and degrades gracefully (with the choice logged) when not;
+      * a resolved 1x1 mesh returns None — the caller keeps the plain
+        single-device path.
+
+    `batch_size` overrides `cfg.train.batch_size` as the GLOBAL batch
+    the dp axis must divide (the training loop passes the loader's
+    actual batch size, which is authoritative when a caller builds the
+    loader with a different size than the config's).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    dp, mp = cfg.parallel.dp, cfg.parallel.mp
+    bs = cfg.train.batch_size if batch_size is None else batch_size
+    npts = cfg.data.num_points
+    if mp < 1 or dp < -1 or dp == 0:
+        raise ValueError(f"bad parallel config dp={dp} mp={mp}")
+    if mp > n:
+        raise ValueError(f"parallel.mp={mp} exceeds {n} devices")
+    if mp > 1 and npts % mp != 0:
+        raise ValueError(
+            f"data.num_points={npts} not divisible by parallel.mp={mp}")
+    if dp == -1:
+        cap = n // mp
+        dp = max(d for d in range(1, cap + 1) if bs % d == 0)
+    else:
+        if dp * mp > n:
+            raise ValueError(
+                f"mesh dp={dp} x mp={mp} needs {dp * mp} devices, have {n}")
+        if bs % dp != 0:
+            raise ValueError(
+                f"train.batch_size={bs} not divisible by parallel.dp={dp}")
+    if dp * mp == 1:
+        return None
+    return make_mesh(dp=dp, mp=mp, devices=devices)
+
+
 def make_mesh(dp: int = -1, mp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a (dp, mp) mesh.  dp=-1 uses all remaining devices."""

@@ -29,10 +29,66 @@ from wireframe_tpu.train.step import make_train_step
 logger = logging.getLogger(__name__)
 
 
+_BATCH_KEYS = ("point_clouds", "target_vertices", "vertex_existence",
+               "vertex_counts", "edge_labels")
+
+
 def _device_batch(batch: dict) -> dict:
-    keep = ("point_clouds", "target_vertices", "vertex_existence",
-            "vertex_counts", "edge_labels")
-    return {k: jnp.asarray(batch[k]) for k in keep}
+    return {k: jnp.asarray(batch[k]) for k in _BATCH_KEYS}
+
+
+def _make_batch_placer(cfg: Config, loader=None):
+    """Batch -> device-array placement function, consuming ParallelConfig.
+
+    Single device: plain `jnp.asarray`.  Mesh (`parallel.dp`/`mp` resolve
+    to >1 device): `shard_batch` with the (dp, mp) NamedShardings, or
+    `assemble_global_batch` under a multi-process runtime where each host
+    contributes its local shard of the global batch.  Returns
+    (place_fn, mesh, place_state) where place_state replicates
+    params/opt_state over the mesh (identity when mesh is None).
+    """
+    from wireframe_tpu.parallel.mesh import replicate, resolve_mesh, shard_batch
+
+    # The loader's actual batch size is what the dp axis must divide
+    # (callers may build the loader with a different size than the
+    # config's); under a multi-process runtime the loader yields the
+    # LOCAL shard, so the global batch is local x process_count.
+    local_bs = getattr(loader, "batch_size", None)
+    global_bs = (local_bs * jax.process_count()
+                 if local_bs else None)
+    mesh = resolve_mesh(cfg, batch_size=global_bs)
+    if mesh is None:
+        return _device_batch, None, lambda state: state
+
+    multihost = jax.process_count() > 1
+    logger.info(
+        "Mesh training: dp=%d mp=%d over %d devices%s",
+        mesh.shape["dp"], mesh.shape["mp"], mesh.size,
+        f" across {jax.process_count()} hosts" if multihost else "")
+    if multihost:
+        from wireframe_tpu.parallel.multihost import (
+            assemble_global_batch,
+            replicate_across_hosts,
+        )
+
+        def place(batch):
+            return assemble_global_batch(
+                mesh, {k: batch[k] for k in _BATCH_KEYS})
+
+        def place_state(state):
+            return state.replace(
+                params=replicate_across_hosts(mesh, state.params),
+                opt_state=replicate_across_hosts(mesh, state.opt_state),
+                ema_params=replicate_across_hosts(mesh, state.ema_params))
+    else:
+        def place(batch):
+            return shard_batch(mesh, {k: batch[k] for k in _BATCH_KEYS})
+
+        def place_state(state):
+            return state.replace(params=replicate(mesh, state.params),
+                                 opt_state=replicate(mesh, state.opt_state),
+                                 ema_params=replicate(mesh, state.ema_params))
+    return place, mesh, place_state
 
 
 def train_model(cfg: Config, loader: BatchLoader,
@@ -52,6 +108,14 @@ def train_model(cfg: Config, loader: BatchLoader,
     points (per-epoch reads would stall the dispatch pipeline), so
     best_loss/best_rmse and the save_best snapshot are log_every-granular;
     set log_every=1 for the reference's every-epoch tracking.
+
+    Multi-chip: `cfg.parallel` (dp/mp) is consumed here — params and
+    optimizer state are replicated over the resolved mesh and every
+    batch is placed with (dp, mp) NamedShardings, so GSPMD partitions
+    the same jitted step over the chips (the reference trains on one
+    device only, train.py:21).  Under a multi-process runtime
+    (`jax.distributed`), the loader must yield this host's LOCAL shard
+    of the global batch (`batch_size // process_count` samples).
     """
     if len(loader) == 0:
         raise ValueError(
@@ -69,6 +133,9 @@ def train_model(cfg: Config, loader: BatchLoader,
             steps_per_epoch=1 if cfg.train.overfit_one_batch else len(loader))
     logger.info("Model parameters: %s", f"{param_count(state.params):,}")
 
+    place_batch, mesh, place_state = _make_batch_placer(cfg, loader)
+    state = place_state(state)
+
     train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
 
     best_loss = float("inf")
@@ -77,7 +144,7 @@ def train_model(cfg: Config, loader: BatchLoader,
 
     loader.epoch = start_epoch  # deterministic data order on resume
     if cfg.train.overfit_one_batch:
-        fixed = _device_batch(next(iter(loader)))
+        fixed = place_batch(next(iter(loader)))
         batches = None
     else:
         fixed = None
@@ -90,7 +157,7 @@ def train_model(cfg: Config, loader: BatchLoader,
         if fixed is not None:
             epoch_batches = [fixed]
         else:
-            epoch_batches = (_device_batch(b) for b in batches)
+            epoch_batches = (place_batch(b) for b in batches)
 
         is_log_epoch = (epoch % cfg.train.log_every == 0
                         or epoch == num_epochs - 1)
