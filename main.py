@@ -135,6 +135,11 @@ def main(argv=None):
                 step=jax.numpy.asarray(meta.get("step", 0)),
                 params=payload["params"],
                 opt_state=payload["opt_state"])
+            if state.ema_params is not None:
+                # Re-seed the EMA from the restored weights (the EMA
+                # trajectory itself is not checkpointed).
+                state = state.replace(ema_params=jax.tree_util.tree_map(
+                    jax.numpy.array, payload["params"]))
             # 'epoch' (completed epochs) is the resume point; 'step' is
             # the optimizer step and differs whenever an epoch has more
             # than one batch.  Old checkpoints without 'epoch' fall back
@@ -151,6 +156,14 @@ def main(argv=None):
                            state.params, state.opt_state, cfg,
                            epoch=max(start_epoch, cfg.train.num_epochs))
     print(f"✓ checkpoint saved: {path}")
+    if state.ema_params is not None:
+        # EMA weights as a drop-in checkpoint: `evaluate.py
+        # --checkpoint-dir <dir>/ema` consumes it unchanged.
+        ema_path = save_checkpoint(
+            os.path.join(args.checkpoint_dir, "ema"), int(state.step),
+            state.ema_params, None, cfg,
+            epoch=max(start_epoch, cfg.train.num_epochs))
+        print(f"✓ EMA checkpoint saved: {ema_path}")
     if run is not None:
         # Cross-script linkage the reference maintains (main.py:57-61).
         with open("wandb_run_id.txt", "w") as f:

@@ -49,6 +49,7 @@ def corpus(tmp_path, rng):
     return str(root)
 
 
+@pytest.mark.slow
 def test_overfit_loss_decreases(corpus):
     cfg = small_cfg()
     cfg.data.root_dir = corpus
@@ -101,8 +102,56 @@ def test_checkpoint_round_trip(tmp_path, corpus):
                                np.asarray(out_b["vertices"]), rtol=1e-6)
 
 
+@pytest.mark.slow
+def test_ema_params_track_weights(rng):
+    """train.ema_decay maintains an exponential moving average of the
+    params inside the jitted step (variance lever, r2 VERDICT weak #1)."""
+    from wireframe_tpu.ops.pairs import num_pairs
+
+    cfg = small_cfg()
+    cfg.data.num_points = 64
+    cfg.data.max_vertices = 8
+    cfg.train.ema_decay = 0.9
+    cfg.__post_init__()
+    b, n, d, v = 2, 64, 8, 8
+    e = num_pairs(v)
+    counts = rng.integers(3, v + 1, size=b).astype(np.int32)
+    batch = {
+        "point_clouds": jnp.asarray(
+            rng.normal(size=(b, n, d)).astype(np.float32)),
+        "target_vertices": jnp.asarray(
+            rng.normal(size=(b, v, 3)).astype(np.float32)),
+        "vertex_existence": jnp.asarray(
+            (np.arange(v)[None, :] < counts[:, None]).astype(np.float32)),
+        "vertex_counts": jnp.asarray(counts),
+        "edge_labels": jnp.asarray(
+            (rng.random((b, e)) < 0.2).astype(np.float32)),
+    }
+    state = create_train_state(cfg, jax.random.PRNGKey(0), (b, n, d))
+    assert state.ema_params is not None
+    p0 = jax.tree_util.tree_map(lambda x: x.copy(), state.params)
+    step = jax.jit(make_train_step(cfg))
+    s1, _ = step(state, batch, jax.random.PRNGKey(1))
+    want = jax.tree_util.tree_map(lambda a, c: 0.9 * a + 0.1 * c,
+                                  p0, s1.params)
+    for a, c in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(s1.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-7)
+    # decay 0 (default) keeps the state EMA-free
+    cfg2 = small_cfg()
+    assert create_train_state(
+        cfg2, jax.random.PRNGKey(0), (1, 128, 8)).ema_params is None
+
+
+@pytest.mark.slow
 def test_full_epoch_loop_runs(corpus):
-    """Non-overfit mode: iterate real shuffled epochs through the loader."""
+    """Non-overfit mode: iterate real shuffled epochs through the loader.
+
+    Also exercises parallel.dp=-1 auto-resolution against the LOADER's
+    batch size (2): the mesh resolves to dp=2 on the 8 virtual devices
+    and the loop shards every batch (the r3 bug was resolving against
+    cfg.train.batch_size=3 instead)."""
     from wireframe_tpu.train.loop import train_model
 
     cfg = small_cfg()

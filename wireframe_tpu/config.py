@@ -135,6 +135,11 @@ class TrainConfig:
     # labels fight the matched vertex loss whenever the matching is not
     # the identity — a collapse driver (QUALITY.md §3).
     matched_existence_labels: bool = False
+    # Exponential moving average of params (0 = off).  A variance lever
+    # for the final-checkpoint quality (r2 VERDICT weak #1: single-seed
+    # spread ±0.06 E-F1); when on, the EMA weights are saved as an extra
+    # `<checkpoint_dir>/ema` checkpoint that evaluate.py consumes as-is.
+    ema_decay: float = 0.0
     # LR schedule: "constant" (reference, train.py:96) or "warmup_cosine"
     # (linear warmup for warmup_steps, cosine decay to
     # learning_rate * lr_min_ratio over the run).

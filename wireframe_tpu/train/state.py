@@ -27,6 +27,9 @@ class TrainState:
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Any = struct.field(pytree_node=False)
+    # EMA of params (None when train.ema_decay == 0); updated in the
+    # jitted train step, saved as a separate `/ema` checkpoint.
+    ema_params: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(
@@ -94,6 +97,8 @@ def create_train_state(cfg: Config, rng: jax.Array,
         opt_state=tx.init(params),
         tx=tx,
         apply_fn=model.apply,
+        ema_params=(jax.tree_util.tree_map(jnp.array, params)
+                    if cfg.train.ema_decay > 0 else None),
     )
 
 

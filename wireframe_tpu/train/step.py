@@ -60,6 +60,7 @@ def make_train_step(cfg: Config) -> Callable:
         matched_existence_labels=cfg.train.matched_existence_labels,
     )
     do_augment = cfg.train.device_augment and cfg.data.augment
+    ema_decay = cfg.train.ema_decay
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -93,6 +94,10 @@ def make_train_step(cfg: Config) -> Callable:
         (total, (losses, preds)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
+        if ema_decay > 0:
+            new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params, new_state.params))
 
         metrics = {
             "total_loss": total,
