@@ -141,6 +141,17 @@ def wireframe_loss(predictions: Dict[str, jnp.ndarray],
             axis=-1)                                    # (B, Vpred, Vtgt)
         cost_t = jnp.transpose(l1, (0, 2, 1)) + (
             2.0 - 2.0 * pred_p)[:, None, :]             # (B, Vtgt, Vpred)
+        # Enforce the matchers' padded-column contract (ADVICE r2): real
+        # costs must stay far below PAD_COST, or a diverged/NaN cost could
+        # make a padded column win and the out-of-range slot index would
+        # be silently dropped by the scatter in invert(), corrupting the
+        # match.  Clamp to the documented safe ceiling; map NaNs there too
+        # (a NaN row would otherwise poison the dual updates).
+        from wireframe_tpu.ops.pallas_lsa import max_safe_cost
+
+        ceil = max_safe_cost()
+        cost_t = jnp.where(jnp.isnan(cost_t), ceil,
+                           jnp.minimum(cost_t, ceil))
         cost_t = jax.lax.stop_gradient(cost_t)          # matching is
         matcher = cfg.matcher                           # non-diff'able
         if matcher == "auto":

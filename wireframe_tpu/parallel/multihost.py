@@ -64,16 +64,24 @@ def assemble_global_batch(mesh: Mesh, local_batch: dict,
     Each host contributes its local shard of the batch axis; point_clouds
     additionally shard their point axis over "mp" per
     `parallel.mesh.batch_sharding`.
+
+    Every key must be in the batch-sharding layout (ADVICE r2): a key
+    outside it would be placed with a replicated P() spec built from
+    process-LOCAL data — if hosts ever passed different values, each
+    host's devices would silently hold different data under a sharding
+    that claims replication.  Use `replicate_across_hosts` explicitly for
+    values that are verified identical on every host.
     """
     from wireframe_tpu.parallel.mesh import batch_sharding
 
     layout = batch_sharding(mesh)
-    out = {}
-    for k, v in local_batch.items():
-        # Keys outside the layout are replicated: every process
-        # contributes its full copy (device_put onto non-addressable
-        # devices is not portable).
-        sharding = layout.get(k, NamedSharding(mesh, P()))
-        out[k] = jax.make_array_from_process_local_data(
-            sharding, np.asarray(v))
-    return out
+    extra = sorted(set(local_batch) - set(layout))
+    if extra:
+        raise ValueError(
+            f"assemble_global_batch: keys {extra} are not in the batch "
+            "sharding layout; replicate host-identical values via "
+            "replicate_across_hosts instead")
+    return {
+        k: jax.make_array_from_process_local_data(layout[k], np.asarray(v))
+        for k, v in local_batch.items()
+    }

@@ -50,8 +50,9 @@ class WireframePredictor:
           serve_batch_size: fixed batch every bucket program is compiled
             for (default cfg.eval.batch_size).  Requests are chunked and
             padded to it.
-          cache_dir: persistent XLA compile cache directory (default
-            /tmp/wireframe_tpu_xla_cache; set "" to disable).
+          cache_dir: persistent XLA compile cache directory (default:
+            the user-scoped `utils.platform.default_cache_dir()`;
+            set "" to disable).
         """
         import jax
 
@@ -74,7 +75,6 @@ class WireframePredictor:
         self.batch_size = int(serve_batch_size or cfg.eval.batch_size)
         self.buckets = tuple(sorted(cfg.data.point_buckets))
         self._forward = jax.jit(make_forward_fn(cfg, train=False))
-        self._rng = np.random.default_rng(cfg.data.seed)
 
     # ------------------------------------------------------------------
     # Input preparation
@@ -157,7 +157,11 @@ class WireframePredictor:
                 chunk = idxs[k:k + self.batch_size]
                 x = np.zeros((self.batch_size, bucket, d), np.float32)
                 for j, i in enumerate(chunk):
-                    x[j] = pad_or_sample(prep[i]["pc"], bucket, self._rng)
+                    # Fresh content-keyed RNG per cloud (ADVICE r2): a
+                    # shared mutating RNG made identical requests return
+                    # different downsamples (and raced across threads).
+                    x[j] = pad_or_sample(prep[i]["pc"], bucket,
+                                         self._cloud_rng(prep[i]["pc"]))
                 preds = self._forward(self.params, jnp.asarray(x), None)
                 verts = np.asarray(preds["vertices"])
                 probs = np.asarray(preds["edge_probs"])
@@ -168,6 +172,16 @@ class WireframePredictor:
                         verts[j], probs[j], int(counts[j]), exist[j],
                         prep[i], v, decode_predictions)
         return results  # type: ignore[return-value]
+
+    def _cloud_rng(self, pc: np.ndarray) -> np.random.Generator:
+        """Deterministic per-request RNG keyed off the cloud's content, so
+        serving is reproducible (same cloud -> same downsample -> same
+        wireframe) and thread-safe (no shared mutable state)."""
+        import zlib
+
+        digest = zlib.crc32(np.ascontiguousarray(pc, np.float32).tobytes())
+        return np.random.default_rng(
+            np.random.SeedSequence([self.cfg.data.seed, digest]))
 
     def _decode_one(self, verts, probs, count, existence, prep, v,
                     decode_predictions) -> Dict:

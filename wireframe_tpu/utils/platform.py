@@ -35,16 +35,31 @@ def enable_compile_cache(cache_dir: str = None) -> None:
     a rerun of the same shapes (train resume, eval after train, repeated
     bench) loads the compiled program in seconds.  Same default location
     as `serve.WireframePredictor`; set WIREFRAME_XLA_CACHE="" to disable.
+
+    The default directory is user-scoped (ADVICE r2): a fixed
+    world-writable /tmp path could be pre-created/poisoned by another
+    user of the host.  The min-compile-time knob is only set when the
+    user has not configured it themselves.
     """
     if cache_dir is None:
-        cache_dir = os.environ.get("WIREFRAME_XLA_CACHE",
-                                   "/tmp/wireframe_tpu_xla_cache")
+        cache_dir = os.environ.get("WIREFRAME_XLA_CACHE", default_cache_dir())
     if not cache_dir:
         return
     import jax
 
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:  # cache flags unavailable on this jax — run without
         pass
+
+
+def default_cache_dir() -> str:
+    """Per-user persistent XLA cache location."""
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(tempfile.gettempdir(),
+                        f"wireframe_tpu_xla_cache_{uid}")
