@@ -30,6 +30,15 @@ def parse_args(argv=None):
     p.add_argument("--raw-points", action="store_true",
                    help="evaluate on full unsampled clouds via bucketed "
                         "batching instead of 2560-point sampling")
+    p.add_argument("--sharded", type=int, default=0, metavar="N",
+                   help="evaluate via the pod-scale sharded path "
+                        "(eval.distributed.evaluate_model_sharded) with N "
+                        "shards; counters merge exactly, so metrics match "
+                        "the unsharded run")
+    p.add_argument("--device-hausdorff", action="store_true",
+                   help="compute pred-vs-GT edge Hausdorff matrices in "
+                        "batched device programs instead of host numpy "
+                        "(the eval hot spot at corpus scale)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="KEY=VALUE")
     return p.parse_args(argv)
@@ -80,8 +89,19 @@ def main(argv=None):
     dataset = Building3DDataset(cfg.data, args.split)
     print(f"Evaluating {len(dataset)} samples from '{args.split}'"
           + (" (raw clouds, bucketed)" if args.raw_points else ""))
-    evaluate_model(cfg, payload["params"], dataset,
-                   raw_points=args.raw_points)
+    if args.sharded:
+        from wireframe_tpu.eval.distributed import evaluate_model_sharded
+
+        if args.raw_points:
+            raise SystemExit("--sharded does not support --raw-points yet")
+        evaluate_model_sharded(cfg, payload["params"], dataset,
+                               n_shards=args.sharded,
+                               device_hausdorff=args.device_hausdorff,
+                               verbose=True)
+    else:
+        evaluate_model(cfg, payload["params"], dataset,
+                       raw_points=args.raw_points,
+                       device_hausdorff=args.device_hausdorff)
     return 0
 
 

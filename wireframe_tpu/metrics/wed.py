@@ -32,19 +32,61 @@ def setdiff_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ua[keep]
 
 
+def _rows_view(a: np.ndarray) -> np.ndarray:
+    """1-D void view for whole-row equality / membership tests.
+
+    Float rows are canonicalized (+0.0 == -0.0 under float equality but
+    their bytes differ; `x + 0.0` maps -0.0 to +0.0)."""
+    a = np.ascontiguousarray(a)
+    if np.issubdtype(a.dtype, np.floating):
+        a = np.ascontiguousarray(a + 0.0)
+    return a.view([("", a.dtype)] * a.shape[1]).ravel()
+
+
+def _first_row_index(queries: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """For each query row, the FIRST index of an equal row in `table`
+    (-1 when absent).  Vectorized replacement for the reference's
+    per-row `np.where((table == q).all(1))[0][0]` scans
+    (eval/ap_calculator.py:52-57, 84-98)."""
+    queries = np.asarray(queries)
+    table = np.asarray(table)
+    if len(queries) == 0:
+        return np.empty(0, np.int64)
+    if len(table) == 0:
+        return np.full(len(queries), -1, np.int64)
+    # Void-view comparison needs one common dtype on both sides.
+    common = np.result_type(queries.dtype, table.dtype)
+    queries = queries.astype(common, copy=False)
+    table = table.astype(common, copy=False)
+    tv = _rows_view(table)
+    qv = _rows_view(queries)
+    order = np.argsort(tv, kind="stable")
+    sv = tv[order]
+    # Left-side searchsorted lands on the FIRST element of an equal-run;
+    # stable sort keeps original order within equal keys, so order[pos]
+    # is the smallest original index — matching the reference's hits[0].
+    pos = np.searchsorted(sv, qv)
+    safe = np.minimum(pos, len(table) - 1)
+    hit = sv[safe] == qv
+    return np.where(hit, order[safe], -1).astype(np.int64)
+
+
 def compute_edge_indices(edges_vertices: np.ndarray,
                          vertices: np.ndarray) -> np.ndarray:
     """Map (n, 2, 3) edge endpoint coords to sorted (n, 2) vertex indices.
 
     Endpoint coords absent from `vertices` map to -1
-    (eval/ap_calculator.py:84-98).
+    (eval/ap_calculator.py:84-98).  One sorted-membership pass instead of
+    the reference's per-edge/per-side full scans (r2 VERDICT weak #5: the
+    host loops dominate eval at corpus scale).
     """
-    out = np.full((len(edges_vertices), 2), -1, dtype=np.int64)
-    for k, edge in enumerate(edges_vertices):
-        for side in range(2):
-            hits = np.where((vertices == edge[side]).all(axis=1))[0]
-            if len(hits) > 0:
-                out[k, side] = hits[0]
+    ev = np.asarray(edges_vertices, dtype=np.float64)
+    vv = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    n = len(ev)
+    if n == 0:
+        return np.empty((0, 2), np.int64)
+    flat = ev.reshape(n * 2, 3)
+    out = _first_row_index(flat, vv).reshape(n, 2)
     return np.sort(out, axis=-1)
 
 
@@ -74,28 +116,41 @@ def graph_edit_distance(pd_vertices: np.ndarray, pd_edges: np.ndarray,
 
         # Merge duplicates and re-index the predicted edges.
         uniq, inverse = np.unique(pd_vertices, axis=0, return_inverse=True)
-        renew = inverse[np.asarray(pd_edges, dtype=np.int64)]
+        renew = inverse[np.asarray(pd_edges, dtype=np.int64)].reshape(-1, 2)
         renew = np.unique(renew, axis=0)
 
-        for edge in renew:
-            # GT indices of the two (snapped) endpoints.
-            e1 = np.where((gt_vertices == uniq[edge[0]]).all(axis=1))[0]
-            e2 = np.where((gt_vertices == uniq[edge[1]]).all(axis=1))[0]
-            pair = np.array(sorted([e1[0], e2[0]]))
-            exists = np.where((gt_edges == pair).all(axis=1))[0]
-            if len(exists):
-                keep = np.any(gt_edges_left != pair, axis=1)
-                gt_edges_left = gt_edges_left[keep]
-            else:
-                wed_e += float(np.linalg.norm(uniq[edge[0]] - uniq[edge[1]]))
+        if len(renew):
+            # GT index of each snapped endpoint (every snapped vertex IS a
+            # GT row, so lookups always hit); one sorted-membership pass
+            # replaces the reference's per-edge scans
+            # (ap_calculator.py:52-57).
+            uniq_to_gt = _first_row_index(uniq, gt_vertices)
+            pairs = np.sort(uniq_to_gt[renew], axis=1)          # (R, 2)
+            in_gt = _first_row_index(pairs, np.asarray(gt_edges)
+                                     .reshape(-1, 2)) >= 0
+            # Unmatched predicted edges cost their length...
+            seg = uniq[renew[~in_gt]]
+            wed_e += float(np.sum(np.linalg.norm(
+                seg[:, 0] - seg[:, 1], axis=-1))) if len(seg) else 0.0
+            # ...and every copy of a matched pair leaves the GT-leftover
+            # set (the reference removes all equal rows per match; the
+            # exists-check is against the ORIGINAL gt_edges, so duplicate
+            # renew pairs are no-ops — plain row set-difference).
+            if in_gt.any():
+                gone = _first_row_index(
+                    np.asarray(gt_edges_left).reshape(-1, 2),
+                    pairs[in_gt]) >= 0
+                gt_edges_left = gt_edges_left[~gone]
     else:
         wed_v = 0.0
 
     # Every GT edge never matched costs its length.
-    for edge in gt_edges_left:
-        wed_e += float(np.linalg.norm(gt_vertices[edge[0]] - gt_vertices[edge[1]]))
+    if len(gt_edges_left):
+        wed_e += float(np.sum(np.linalg.norm(
+            gt_vertices[gt_edges_left[:, 0]]
+            - gt_vertices[gt_edges_left[:, 1]], axis=-1)))
 
-    total = sum(
-        float(np.linalg.norm(gt_vertices[e[0]] - gt_vertices[e[1]]))
-        for e in gt_edges)
+    gt_edges = np.asarray(gt_edges).reshape(-1, 2)
+    total = float(np.sum(np.linalg.norm(
+        gt_vertices[gt_edges[:, 0]] - gt_vertices[gt_edges[:, 1]], axis=-1)))
     return (wed_e + wed_v) / total
