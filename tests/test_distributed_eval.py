@@ -76,6 +76,7 @@ def small_cfg(root):
     return cfg
 
 
+@pytest.mark.slow
 def test_sharded_eval_counters_match_single_run(big_corpus):
     """200-sample eval sharded 8 ways over the 8-virtual-device mesh:
     integer counters EXACTLY equal the unsharded run; float accumulators

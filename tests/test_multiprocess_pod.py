@@ -26,6 +26,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 _CHILD = r"""
 import json, os, sys
@@ -98,6 +99,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_pod_matches_single_process():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coord = f"127.0.0.1:{_free_port()}"

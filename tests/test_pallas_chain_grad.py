@@ -13,6 +13,7 @@ order); bfloat16 loosely.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_pallas_encoder import make_params
 from wireframe_tpu.ops.pallas_chain_grad import make_differentiable_chain
@@ -121,6 +122,7 @@ def test_encoder_module_grads_pallas_vs_xla(rng):
     _assert_tree_close(g_pls, g_ref, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_pallas_matches_xla_trajectory(rng):
     """Jitted train steps with the fused differentiable encoder must
     track the plain-XLA path's loss trajectory from the same init (f32

@@ -4,6 +4,7 @@ existence labels, and the LR schedule (the round-2 anti-collapse stack)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wireframe_tpu.config import Config
 from wireframe_tpu.losses.wireframe_loss import (
@@ -143,6 +144,7 @@ def test_matched_existence_labels_follow_the_matching():
     assert float(matched["vertex_loss"]) < 1e-6
 
 
+@pytest.mark.slow
 def test_train_step_query_head_grads_flow():
     cfg = small_query_cfg()
     cfg.train.matched_edge_labels = True

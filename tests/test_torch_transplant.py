@@ -135,6 +135,7 @@ def test_pth_roundtrip(tmp_path, torch_model_and_inputs):
 
 @pytest.mark.skipif(not (REF / "datasets").exists(),
                     reason="reference corpus missing")
+@pytest.mark.slow
 def test_trained_model_eval_reproduction(tmp_path):
     """Train the reference torch model briefly on real data, transplant,
     and assert OUR eval pipeline reproduces the torch model's decoded
