@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Corpus-scale eval proof (r2 VERDICT weak #5 / BASELINE config 5).
+
+One command that (1) synthesizes an N-building corpus, (2) runs the
+sharded pod-eval path (`evaluate_model_sharded`, device-batched
+Hausdorff) over it, (3) re-runs the plain unsharded path, (4) asserts
+the merged metrics are IDENTICAL, and (5) reports eval throughput
+(buildings/sec) for both.
+
+Usage:
+  python tools/scale_eval.py --checkpoint-dir /tmp/ck \
+      [--n 500] [--shards 8] [--corpus /tmp/corpus_scale] [--json OUT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--n", type=int, default=500)
+    p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--corpus", default="/tmp/corpus_scale")
+    p.add_argument("--config", default=None)
+    p.add_argument("--set", action="append", default=[], dest="overrides")
+    p.add_argument("--json", default=None, help="write the report here too")
+    p.add_argument("--skip-unsharded", action="store_true",
+                   help="only run + time the sharded path")
+    args = p.parse_args(argv)
+
+    from wireframe_tpu.utils.platform import (
+        enable_compile_cache,
+        honor_env_platform,
+    )
+    honor_env_platform()
+    enable_compile_cache()
+    import jax
+
+    from wireframe_tpu.config import load_config
+    from wireframe_tpu.data import Building3DDataset
+    from wireframe_tpu.eval.distributed import evaluate_model_sharded
+    from wireframe_tpu.eval.evaluator import evaluate_model
+    from wireframe_tpu.train.checkpoint import (
+        apply_checkpoint_model_config,
+        load_checkpoint,
+    )
+
+    test_dir = os.path.join(args.corpus, "test", "xyz")
+    have = len(os.listdir(test_dir)) if os.path.isdir(test_dir) else 0
+    if have != args.n:
+        print(f"generating {args.n}-building corpus at {args.corpus} "
+              f"(found {have})", file=sys.stderr, flush=True)
+        import shutil
+
+        from tools.gen_demo_data import main as gen_main
+
+        shutil.rmtree(args.corpus, ignore_errors=True)
+        gen_main(["--out", args.corpus, "--train", "1",
+                  "--test", str(args.n)])
+
+    cfg = load_config(args.config, args.overrides)
+    cfg.data.root_dir = args.corpus
+    payload, meta = load_checkpoint(args.checkpoint_dir)
+    apply_checkpoint_model_config(cfg, meta)
+    dataset = Building3DDataset(cfg.data, "test")
+    print(f"evaluating {len(dataset)} buildings "
+          f"({args.shards} shards, device Hausdorff)",
+          file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    sharded = evaluate_model_sharded(cfg, payload["params"], dataset,
+                                     n_shards=args.shards,
+                                     device_hausdorff=True)
+    t_sharded = time.perf_counter() - t0
+
+    report = {
+        "n_buildings": len(dataset),
+        "shards": args.shards,
+        "device": str(jax.devices()[0]),
+        "sharded_s": round(t_sharded, 1),
+        "sharded_buildings_per_sec": round(len(dataset) / t_sharded, 2),
+        "metrics": {k: round(v, 6) for k, v in sharded.items()},
+    }
+
+    if not args.skip_unsharded:
+        t0 = time.perf_counter()
+        plain = evaluate_model(cfg, payload["params"], dataset,
+                               verbose=False, device_hausdorff=True)
+        t_plain = time.perf_counter() - t0
+        report["unsharded_s"] = round(t_plain, 1)
+        report["unsharded_buildings_per_sec"] = round(
+            len(dataset) / t_plain, 2)
+        mismatch = {k: (sharded[k], plain[k]) for k in sharded
+                    if sharded[k] != plain[k]}
+        report["sharded_equals_unsharded"] = not mismatch
+        if mismatch:
+            report["mismatch"] = {k: list(v) for k, v in mismatch.items()}
+            print(f"MISMATCH: {mismatch}", file=sys.stderr)
+
+    print(json.dumps(report))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0 if report.get("sharded_equals_unsharded", True) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
