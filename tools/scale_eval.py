@@ -99,8 +99,18 @@ def main(argv=None) -> int:
         report["unsharded_s"] = round(t_plain, 1)
         report["unsharded_buildings_per_sec"] = round(
             len(dataset) / t_plain, 2)
+        # Integer counters must be EXACT; float accumulators may differ
+        # by reduction order (host sum over a different shard grouping),
+        # so compare those to 1e-9 relative.
+        import math
+
+        def same(a, b):
+            if float(a).is_integer() and float(b).is_integer():
+                return a == b
+            return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
         mismatch = {k: (sharded[k], plain[k]) for k in sharded
-                    if sharded[k] != plain[k]}
+                    if not same(sharded[k], plain[k])}
         report["sharded_equals_unsharded"] = not mismatch
         if mismatch:
             report["mismatch"] = {k: list(v) for k, v in mismatch.items()}
