@@ -182,6 +182,35 @@ def test_train_step_query_head_grads_flow():
     assert not np.allclose(before, after)
 
 
+def test_decoder_remat_gradients_identical():
+    """model.decoder_remat=True recomputes each decoder block in the
+    backward instead of stashing activations; gradients must be
+    numerically identical to the non-remat path."""
+    cfg = small_query_cfg()
+    model, params, x = init_model(cfg)
+    cfg_r = small_query_cfg()
+    cfg_r.model.decoder_remat = True
+    model_r = PointCloudToWireframe(cfg_r.model)
+
+    def scalar(m, p):
+        out = m.apply({"params": p}, x, None, train=False)
+        return (jnp.sum(out["vertices"] ** 2)
+                + jnp.sum(out["existence_probabilities"])
+                + jnp.sum(out["edge_probs"]))
+
+    base, g_base = jax.value_and_grad(
+        lambda p: scalar(model, p))(params)
+    rem, g_rem = jax.value_and_grad(
+        lambda p: scalar(model_r, p))(params)
+    np.testing.assert_allclose(float(base), float(rem), rtol=1e-6)
+    flat_a = jax.tree_util.tree_leaves(g_base)
+    flat_b = jax.tree_util.tree_leaves(g_rem)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_lr_schedule_warmup_cosine():
     from wireframe_tpu.train.state import make_lr_schedule
 

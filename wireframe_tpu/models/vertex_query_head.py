@@ -82,6 +82,7 @@ class QueryVertexDecoder(nn.Module):
     dropout: float = 0.0
     existence_thresh: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray,
@@ -112,12 +113,20 @@ class QueryVertexDecoder(nn.Module):
                 global_features.astype(self.dtype))
             q = q + g[:, None, :]
 
+        block_cls = DecoderBlock
+        if self.remat:
+            # Backward recomputes each block from its inputs instead of
+            # stashing per-layer K/V projections and (B, H, V, N)
+            # attention weights to HBM (train-step tail lever; gradients
+            # are numerically identical).  static_argnums pins
+            # `deterministic`.
+            block_cls = nn.remat(DecoderBlock, static_argnums=(4,))
         for i in range(self.num_layers):
-            q = DecoderBlock(
+            q = block_cls(
                 dim=self.dim, num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim, dropout=self.dropout,
                 dtype=self.dtype, name=f"block{i}")(
-                    q, kv, point_mask, deterministic=deterministic)
+                    q, kv, point_mask, deterministic)
 
         feats = nn.LayerNorm(dtype=jnp.float32, name="out_ln")(q)
         coords = nn.Dense(3, dtype=self.dtype, name="coord_head")(feats)

@@ -78,6 +78,7 @@ class PointCloudToWireframe(nn.Module):
                 ffn_dim=cfg.decoder_ffn_dim,
                 dropout=cfg.decoder_dropout,
                 dtype=dt,
+                remat=cfg.decoder_remat,
                 name="vertex_decoder",
             )(point_features, point_validity_mask(point_cloud),
               global_features, deterministic=not train)
