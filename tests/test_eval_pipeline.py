@@ -69,6 +69,33 @@ def test_evaluate_raw_bucketed(setup):
     assert metrics["tp_fn_corners"] == 15  # 3 samples x 5 GT vertices
 
 
+def test_live_corner_filter_changes_only_the_corner_denominator(setup):
+    """eval.live_corner_filter counts only live slots as predicted
+    corners; GT-side counters and the denominator ordering must hold."""
+    import copy
+
+    cfg, params = setup
+    cfg_e = copy.deepcopy(cfg)
+    cfg_e.model.slot_mask_mode = "existence"
+    ds = Building3DDataset(cfg_e.data, "test")
+    base = evaluate_model(cfg_e, params, ds, verbose=False)
+    cfg_f = copy.deepcopy(cfg_e)
+    cfg_f.eval.live_corner_filter = True
+    filt = evaluate_model(cfg_f, params, ds, verbose=False)
+    # All-slot counting fixes the denominator at V per sample.
+    assert base["tp_fp_corners"] == 3 * cfg.model.max_vertices
+    assert filt["tp_fp_corners"] <= base["tp_fp_corners"]
+    # GT-side counters are untouched by the filter.
+    assert filt["tp_fn_corners"] == base["tp_fn_corners"]
+    assert filt["tp_fn_edges"] == base["tp_fn_edges"]
+    # Prefix mode has no live mask: the flag must be a no-op there.
+    cfg_p = copy.deepcopy(cfg)
+    cfg_p.eval.live_corner_filter = True
+    noop = evaluate_model(cfg_p, params, ds, verbose=False)
+    ref = evaluate_model(cfg, params, ds, verbose=False)
+    assert noop["tp_fp_corners"] == ref["tp_fp_corners"]
+
+
 def test_predict_bucketed_order_and_shapes(setup, rng):
     cfg, params = setup
     clouds = [rng.normal(size=(n, 8)).astype(np.float32)

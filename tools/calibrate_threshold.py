@@ -1,14 +1,23 @@
 #!/usr/bin/env python3
-"""Calibrate eval.edge_confidence_thresh on the TRAIN split.
+"""Calibrate decision thresholds on the TRAIN split.
 
-The reference hard-codes 0.5 (evaluate.py:81).  This sweeps the
-threshold over the train split (never the test split — that would be
-test-set fitting), reports the full metric table, and prints the
-test-split metrics at the calibrated value.
+The reference hard-codes the edge-confidence threshold at 0.5
+(evaluate.py:81) and the vertex-existence threshold at 0.5
+(PointCloudToWireframe.py:90).  This sweeps one or both on the train
+split (never the test split — that would be test-set fitting), reports
+the full metric table, and prints the test-split metrics at the
+calibrated values.
+
+`--param joint` does one coordinate-descent pass: sweep the vertex
+threshold at the current edge threshold (selecting by corners_f1),
+then the edge threshold at the calibrated vertex value (selecting by
+--metric, default edges_f1).  The vertex threshold only has an effect
+in `model.slot_mask_mode=existence` runs (the query-head recipe).
 
 Usage:
   python tools/calibrate_threshold.py --checkpoint-dir ck \
-      [--data-root PATH] [--thresholds 0.2,0.3,...] [--existence 0.5]
+      [--data-root PATH] [--param edge|vertex|joint] \
+      [--thresholds 0.2,0.3,...] [--vertex-thresholds 0.3,...]
 """
 
 from __future__ import annotations
@@ -19,16 +28,35 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+HEADER = (f"{'thresh':>7} {'C-P':>7} {'C-R':>7} {'C-F1':>7} {'ACO':>7} "
+          f"{'E-P':>7} {'E-R':>7} {'E-F1':>7} {'WED':>7}")
+
+
+def _row(t, m):
+    return (f"{t:7.2f} {m['corners_precision']:7.3f} "
+            f"{m['corners_recall']:7.3f} {m['corners_f1']:7.3f} "
+            f"{m['average_corner_offset']:7.3f} {m['edges_precision']:7.3f} "
+            f"{m['edges_recall']:7.3f} {m['edges_f1']:7.3f} "
+            f"{m['average_wed']:7.3f}")
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--data-root", default=None)
     p.add_argument("--config", default=None)
+    p.add_argument("--param", default="edge",
+                   choices=("edge", "vertex", "joint"))
     p.add_argument("--thresholds",
-                   default="0.2,0.3,0.4,0.5,0.6,0.7")
+                   default="0.2,0.3,0.4,0.5,0.6,0.7",
+                   help="edge-threshold sweep values")
+    p.add_argument("--vertex-thresholds",
+                   default="0.3,0.4,0.5,0.6,0.7,0.8,0.9",
+                   help="vertex-existence sweep values")
     p.add_argument("--metric", default="edges_f1",
-                   help="selection metric (default edges_f1)")
+                   help="edge-sweep selection metric (default edges_f1)")
+    p.add_argument("--vertex-metric", default="corners_f1",
+                   help="vertex-sweep selection metric (default corners_f1)")
     p.add_argument("--set", action="append", default=[], dest="overrides")
     args = p.parse_args(argv)
 
@@ -52,33 +80,47 @@ def main(argv=None):
     train_ds = Building3DDataset(cfg.data, "train")
     test_ds = Building3DDataset(cfg.data, "test")
     forward = jax.jit(make_forward_fn(cfg, train=False))
-    thresholds = [float(t) for t in args.thresholds.split(",")]
 
-    print(f"Sweeping edge threshold on {len(train_ds)} train samples")
-    header = f"{'thresh':>7} {'C-F1':>7} {'ACO':>7} {'E-P':>7} {'E-R':>7} " \
-             f"{'E-F1':>7} {'WED':>7}"
-    print(header)
-    best_t, best_val = None, -1.0
-    for t in thresholds:
-        cfg.eval.edge_confidence_thresh = t
-        m = evaluate_model(cfg, payload["params"], train_ds,
-                           forward_fn=forward, verbose=False)
-        print(f"{t:7.2f} {m['corners_f1']:7.3f} "
-              f"{m['average_corner_offset']:7.3f} {m['edges_precision']:7.3f} "
-              f"{m['edges_recall']:7.3f} {m['edges_f1']:7.3f} "
-              f"{m['average_wed']:7.3f}")
-        if m[args.metric] > best_val:
-            best_t, best_val = t, m[args.metric]
+    def sweep(key, values, select_metric):
+        """Sweep cfg.eval.<key> over values on the train split."""
+        print(f"\nSweeping {key} on {len(train_ds)} train samples "
+              f"(select by {select_metric})")
+        print(HEADER)
+        best_t, best_val = None, -1.0
+        for t in values:
+            setattr(cfg.eval, key, t)
+            m = evaluate_model(cfg, payload["params"], train_ds,
+                               forward_fn=forward, verbose=False)
+            print(_row(t, m))
+            if m[select_metric] > best_val:
+                best_t, best_val = t, m[select_metric]
+        setattr(cfg.eval, key, best_t)
+        print(f"Best train-split {select_metric}: {best_val:.3f} "
+              f"at {key}={best_t}")
+        return best_t
 
-    print(f"\nBest train-split {args.metric}: {best_val:.3f} "
-          f"at threshold {best_t}")
-    print(f"\nTest split at calibrated threshold {best_t}:")
-    cfg.eval.edge_confidence_thresh = best_t
+    edge_vals = [float(t) for t in args.thresholds.split(",")]
+    vert_vals = [float(t) for t in args.vertex_thresholds.split(",")]
+
+    if args.param in ("vertex", "joint"):
+        if cfg.model.slot_mask_mode != "existence":
+            print(f"NOTE: slot_mask_mode={cfg.model.slot_mask_mode!r} — "
+                  "the vertex threshold has no effect outside 'existence' "
+                  "mode; sweeping anyway for the record.")
+        sweep("vertex_existence_thresh", vert_vals, args.vertex_metric)
+    if args.param in ("edge", "joint"):
+        sweep("edge_confidence_thresh", edge_vals, args.metric)
+
+    print(f"\nTest split at calibrated thresholds "
+          f"(vertex={cfg.eval.vertex_existence_thresh}, "
+          f"edge={cfg.eval.edge_confidence_thresh}):")
     m = evaluate_model(cfg, payload["params"], test_ds,
                        forward_fn=forward, verbose=True)
-    print(f"\n(reference hard-coded 0.5 — pass "
-          f"`--set eval.edge_confidence_thresh={best_t}` to evaluate.py "
-          "to reproduce)")
+    print(f"\n(reference hard-codes 0.5/0.5 — pass "
+          f"`--set eval.vertex_existence_thresh="
+          f"{cfg.eval.vertex_existence_thresh} "
+          f"eval.edge_confidence_thresh={cfg.eval.edge_confidence_thresh}` "
+          "to evaluate.py to reproduce)")
     return 0
 
 

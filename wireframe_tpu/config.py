@@ -166,6 +166,13 @@ class EvalConfig:
     edge_confidence_thresh: float = 0.5
     vertex_existence_thresh: float = 0.5
     batch_size: int = 3
+    # Reference parity counts ALL max_vertices slots as predicted corners
+    # (evaluate.py:76 never filters by existence), so corner precision is
+    # denominated by the slot count.  live_corner_filter=true counts only
+    # live slots (existence slot-mask mode) — the corner set test.py and
+    # serve.py actually emit.  Off by default for parity with the
+    # reference's published numbers.
+    live_corner_filter: bool = False
 
 
 @dataclass

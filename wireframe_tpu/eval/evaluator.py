@@ -8,7 +8,10 @@ construction, and streaming APCalculator accumulation.
 Reference parity notes:
 - ALL `max_vertices` predicted slots are passed as predicted corners
   (evaluate.py:76 does not filter by existence), so corner precision is
-  denominated by the slot count — trained behavior, kept.
+  denominated by the slot count — trained behavior, kept.  Opt out with
+  `eval.live_corner_filter=true` (existence slot-mask mode only): only
+  live slots — the corner set test.py/serve.py actually emit — are
+  counted, which reports the model's real corner precision.
 - predicted edges are pairs over the first `dynamic_count` slots with
   probability > threshold (PointCloudToWireframe.py:90-92 prefix
   convention on the static pair axis).
@@ -57,6 +60,15 @@ def decode_predictions(pred_vertices: np.ndarray, edge_probs: np.ndarray,
         "edges": pd_edges,
         "edges_vertices": pd_edges_vertices,
     }
+
+
+def _corner_set(cfg: Config, slot_vertices: np.ndarray,
+                live: Optional[np.ndarray]) -> np.ndarray:
+    """Predicted corners for AP counting: all slots (reference parity) or
+    only live slots (`eval.live_corner_filter`, existence mode)."""
+    if cfg.eval.live_corner_filter and live is not None:
+        return slot_vertices[live]
+    return slot_vertices
 
 
 def predict_bucketed(cfg: Config, params, clouds: List[np.ndarray],
@@ -151,7 +163,8 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
                 gt_edges = s["wf_edges"].astype(np.int64)
                 gt_ev = edge_endpoint_array(
                     np.asarray(gt_vertices, np.float64), gt_edges)
-                ap_batch["predicted_vertices"].append(dec["vertices"])
+                ap_batch["predicted_vertices"].append(
+                    _corner_set(cfg, dec["vertices"], live))
                 ap_batch["predicted_edges"].append(dec["edges"])
                 ap_batch["pred_edges_vertices"].append(dec["edges_vertices"])
                 ap_batch["wf_vertices"].append(gt_vertices)
@@ -198,7 +211,8 @@ def evaluate_model(cfg: Config, params, dataset: Building3DDataset,
             gt_edges = batch["wf_edges"][i].astype(np.int64)
             gt_ev = edge_endpoint_array(
                 np.asarray(gt_vertices, np.float64), gt_edges)
-            ap_batch["predicted_vertices"].append(dec["vertices"])
+            ap_batch["predicted_vertices"].append(
+                _corner_set(cfg, dec["vertices"], live))
             ap_batch["predicted_edges"].append(dec["edges"])
             ap_batch["pred_edges_vertices"].append(dec["edges_vertices"])
             ap_batch["wf_vertices"].append(gt_vertices)
