@@ -8,6 +8,7 @@ from wireframe_tpu.ops.masked_pool import (
     masked_max,
     masked_mean,
     point_validity_mask,
+    window_max_pool,
 )
 
 
@@ -40,6 +41,40 @@ def test_masked_max_all_invalid_returns_zero():
     np.testing.assert_array_equal(out, np.zeros((1, 8)))
     mean = np.asarray(masked_mean(x, mask))
     np.testing.assert_array_equal(mean, np.zeros((1, 8)))
+
+
+def test_window_max_pool_oracle(rng):
+    b, n, c, w = 2, 24, 5, 4
+    x = rng.normal(size=(b, n, c)).astype(np.float32)
+    mask = rng.random((b, n)) > 0.4
+    mask[0, 0:4] = False  # one fully-invalid window
+    pooled, wmask = window_max_pool(jnp.asarray(x), jnp.asarray(mask), w)
+    assert pooled.shape == (b, n // w, c) and wmask.shape == (b, n // w)
+    for i in range(b):
+        for j in range(n // w):
+            rows = x[i, j * w:(j + 1) * w][mask[i, j * w:(j + 1) * w]]
+            if len(rows):
+                assert wmask[i, j]
+                np.testing.assert_allclose(np.asarray(pooled[i, j]),
+                                           rows.max(0), rtol=1e-6)
+            else:
+                assert not wmask[i, j]
+                np.testing.assert_array_equal(np.asarray(pooled[i, j]), 0.0)
+
+
+def test_window_max_pool_ragged_and_identity(rng):
+    x = rng.normal(size=(1, 10, 3)).astype(np.float32)
+    mask = np.ones((1, 10), bool)
+    # N=10 not divisible by 4: padded windows must be masked out.
+    pooled, wmask = window_max_pool(jnp.asarray(x), jnp.asarray(mask), 4)
+    assert pooled.shape == (1, 3, 3)
+    np.testing.assert_allclose(np.asarray(pooled[0, 2]),
+                               x[0, 8:10].max(0), rtol=1e-6)
+    assert np.asarray(wmask).all()  # every window holds >=1 valid point
+    # window=1 is the identity.
+    same, smask = window_max_pool(jnp.asarray(x), jnp.asarray(mask), 1)
+    np.testing.assert_array_equal(np.asarray(same), x)
+    np.testing.assert_array_equal(np.asarray(smask), mask)
 
 
 def test_pooling_padding_invariance(rng):

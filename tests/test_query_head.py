@@ -211,6 +211,43 @@ def test_decoder_remat_gradients_identical():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_decoder_kv_pool_forward_and_grads():
+    """model.decoder_kv_pool=w pools the decoder KV axis w-fold; the
+    model must stay finite, input-sensitive, and padding-invariant, and
+    gradients must reach the slot queries through the pooled path."""
+    cfg = small_query_cfg(n=64)
+    cfg.model.decoder_kv_pool = 4
+    model, params, x = init_model(cfg)
+    out = model.apply({"params": params}, x, None, train=False)
+    for k in ("vertices", "existence_probabilities", "edge_probs"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    va, vb = np.asarray(out["vertices"][0]), np.asarray(out["vertices"][1])
+    assert not np.allclose(va, vb, atol=1e-4)
+
+    # Padding invariance: extra zero points only add invalid windows.
+    rng = np.random.default_rng(5)
+    real = rng.normal(size=(1, 48, cfg.model.input_dim)).astype(np.float32)
+    short = np.concatenate(
+        [real, np.zeros((1, 16, cfg.model.input_dim), np.float32)], axis=1)
+    long_pad = np.concatenate(
+        [real, np.zeros((1, 80, cfg.model.input_dim), np.float32)], axis=1)
+    out_a = model.apply({"params": params}, jnp.asarray(short), None,
+                        train=False)
+    out_b = model.apply({"params": params}, jnp.asarray(long_pad), None,
+                        train=False)
+    np.testing.assert_allclose(np.asarray(out_a["vertices"]),
+                               np.asarray(out_b["vertices"]),
+                               rtol=2e-4, atol=2e-5)
+
+    def scalar(p):
+        o = model.apply({"params": p}, x, None, train=False)
+        return jnp.sum(o["vertices"] ** 2) + jnp.sum(o["edge_probs"])
+
+    g = jax.grad(scalar)(params)
+    gq = np.asarray(g["vertex_decoder"]["slot_queries"])
+    assert np.isfinite(gq).all() and np.abs(gq).max() > 0
+
+
 def test_lr_schedule_warmup_cosine():
     from wireframe_tpu.train.state import make_lr_schedule
 

@@ -80,6 +80,14 @@ class ModelConfig:
     # stashed to HBM — a bandwidth-for-MXU trade for the train-step tail
     # (r2 VERDICT weak #2).  Numerically identical gradients.
     decoder_remat: bool = False
+    # Masked window max-pool of the decoder's KV tokens along the point
+    # axis (window size; 1 = off).  ROADMAP #17: at B=64 the ops on the
+    # N=2560 KV axis (per-layer K/V projections + cross-attention bwd)
+    # are ~9 ms of the 58 ms step; pooling N -> N/w shrinks that work
+    # w-fold for every decoder layer.  Pooling happens in encoder-feature
+    # space (PointNet features are max-pool-compatible by construction);
+    # windows with no valid point are masked out of the attention.
+    decoder_kv_pool: int = 1
     # Feed the decoder's per-slot features to the edge head alongside the
     # coordinates (query head only; the reference edge head sees coords
     # only, models/EdgePredictor.py:31-38).

@@ -83,6 +83,7 @@ class QueryVertexDecoder(nn.Module):
     existence_thresh: float = 0.5
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    kv_pool: int = 1
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray,
@@ -97,6 +98,17 @@ class QueryVertexDecoder(nn.Module):
             query after projection (gives slots a scene-level prior
             without being their only input).
         """
+        if self.kv_pool > 1:
+            # Shrink the KV axis before any projection: every decoder
+            # layer's K/V matmuls and (B, H, V, N) attention then run at
+            # N/kv_pool tokens (ROADMAP #17 train-step tail).  Max-pool
+            # in encoder-feature space — the encoder's own global pool is
+            # a max over these same features, so a window max is a local
+            # version of a reduction the representation already supports.
+            from wireframe_tpu.ops.masked_pool import window_max_pool
+
+            point_features, point_mask = window_max_pool(
+                point_features, point_mask, self.kv_pool)
         b, n, _ = point_features.shape
         v = self.max_vertices
 

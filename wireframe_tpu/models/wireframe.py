@@ -44,6 +44,25 @@ class PointCloudToWireframe(nn.Module):
         dt = _dtype(cfg.compute_dtype)
         use_query_head = cfg.vertex_head == "query"
 
+        if use_query_head and cfg.decoder_kv_pool > 1:
+            # KV pooling maxes over windows of CONSECUTIVE rows, but the
+            # sampler shuffles point order — unsorted windows would mix
+            # arbitrary far-apart points and scramble the positional
+            # signal each KV token carries.  Sort the cloud by z first
+            # (invalid rows last) so windows are spatially coherent.
+            # Every other consumer is permutation-invariant (pointwise
+            # encoder MLP, masked pools, cross-attention over KV), and a
+            # z-key is stable under the device augmentations (z-rotation
+            # and x/y flips preserve z).  Cost: one (B, N) sort + one
+            # (B, N, 8) gather before the encoder.
+            from wireframe_tpu.ops.masked_pool import point_validity_mask
+
+            valid = point_validity_mask(point_cloud)
+            zkey = jnp.where(valid, point_cloud[..., 2], jnp.inf)
+            order = jnp.argsort(zkey, axis=1)
+            point_cloud = jnp.take_along_axis(
+                point_cloud, order[..., None], axis=1)
+
         encoder = PointNetEncoder(
             input_dim=cfg.input_dim,
             hidden_dims=tuple(cfg.encoder_hidden_dims),
@@ -79,6 +98,7 @@ class PointCloudToWireframe(nn.Module):
                 dropout=cfg.decoder_dropout,
                 dtype=dt,
                 remat=cfg.decoder_remat,
+                kv_pool=cfg.decoder_kv_pool,
                 name="vertex_decoder",
             )(point_features, point_validity_mask(point_cloud),
               global_features, deterministic=not train)

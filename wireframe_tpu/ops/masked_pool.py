@@ -38,3 +38,31 @@ def masked_max(features: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     filled = jnp.where(mask[..., None], features, _NEG_INF)
     out = jnp.max(filled, axis=-2)
     return jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+
+
+def window_max_pool(features: jnp.ndarray, mask: jnp.ndarray,
+                    window: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked non-overlapping window max-pool along the point axis.
+
+    features: (B, N, C); mask: (B, N) bool; -> ((B, ceil(N/w), C) pooled,
+    (B, ceil(N/w)) bool window mask).  A window is valid iff it contains
+    at least one valid point; invalid points contribute -inf to the max
+    and fully-invalid windows pool to 0 (matching `masked_max`).  N is
+    padded up to a multiple of `window` with invalid rows, so any bucket
+    size works.
+    """
+    if window <= 1:
+        return features, mask
+    b, n, c = features.shape
+    pad = (-n) % window
+    if pad:
+        features = jnp.pad(features, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    nw = features.shape[1] // window
+    f = features.reshape(b, nw, window, c)
+    m = mask.reshape(b, nw, window)
+    filled = jnp.where(m[..., None], f, _NEG_INF)
+    pooled = jnp.max(filled, axis=2)
+    win_mask = jnp.any(m, axis=2)
+    pooled = jnp.where(win_mask[..., None], pooled, jnp.zeros_like(pooled))
+    return pooled, win_mask
