@@ -186,6 +186,55 @@ def test_sharded_pools_match_unsharded(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_kv_pool_forward_sharded_matches_unsharded(rng):
+    """The decoder_kv_pool path (z-sort + take_along_axis + windowed
+    reshape over the POINT axis) under (dp, mp) sharding: GSPMD must
+    resolve the cross-shard sort/gather without changing results."""
+    from wireframe_tpu.config import Config
+    from wireframe_tpu.models.wireframe import PointCloudToWireframe
+
+    cfg = Config()
+    cfg.data.num_points = 64
+    cfg.data.max_vertices = 8
+    cfg.model.encoder_hidden_dims = (32,)
+    cfg.model.encoder_output_dim = 32
+    cfg.model.edge_hidden_dim = 32
+    cfg.model.edge_num_heads = 2
+    cfg.model.vertex_head = "query"
+    cfg.model.decoder_dim = 32
+    cfg.model.decoder_layers = 2
+    cfg.model.decoder_heads = 2
+    cfg.model.decoder_ffn_dim = 64
+    cfg.model.decoder_kv_pool = 2
+    cfg.model.slot_mask_mode = "existence"
+    cfg.__post_init__()
+
+    model = PointCloudToWireframe(cfg.model)
+    x = rng.normal(size=(8, 64, 8)).astype(np.float32)
+    x[0, 50:] = 0.0  # padding rows inside one mp shard
+    xj = jnp.asarray(x)
+    params = model.init({"params": jax.random.PRNGKey(0)}, xj, None,
+                        train=False)["params"]
+    fwd = jax.jit(lambda p, pc: model.apply({"params": p}, pc, None,
+                                            train=False))
+    out1 = fwd(params, xj)
+
+    mesh = make_mesh(dp=4, mp=2)
+    with mesh:
+        sb = shard_batch(mesh, {"point_clouds": x})
+        out2 = fwd(replicate(mesh, params), sb["point_clouds"])
+    np.testing.assert_allclose(np.asarray(out1["vertices"]),
+                               np.asarray(out2["vertices"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out1["existence_probabilities"]),
+        np.asarray(out2["existence_probabilities"]),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1["edge_probs"]),
+                               np.asarray(out2["edge_probs"]),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_sharded_train_step_matches_single_device(rng):
     """One jitted train step on the (dp, mp) mesh must produce the same
