@@ -207,3 +207,52 @@ def test_cost_matrix_structure(rng):
     l1 = np.abs(pred_v[0][:, None] - tgt[0][None, :3]).sum(-1)
     np.testing.assert_allclose(cost[0][:, :3], l1 + (1 - p[0][:, None]),
                                rtol=1e-5)
+
+
+def test_train_edge_prf_metric(rng):
+    """_edge_prf reports 1.0 for predictions matching the effective
+    labels, and respects the pair mask."""
+    import jax
+
+    from wireframe_tpu.losses.wireframe_loss import (
+        WireframeLossConfig,
+        wireframe_loss,
+    )
+    from wireframe_tpu.ops.pairs import num_pairs
+    from wireframe_tpu.train.step import _edge_prf
+
+    b, v = 2, 6
+    e = num_pairs(v)
+    counts = np.array([4, 6], np.int32)
+    tgt = (rng.normal(size=(b, v, 3))
+           * (np.arange(v)[None, :, None] < counts[:, None, None])
+           ).astype(np.float32)
+    labels = (rng.random((b, e)) < 0.3).astype(np.float32)
+    preds = {
+        "vertices": jnp.asarray(tgt),  # identity matching
+        "existence_logits": jnp.asarray(
+            np.where(np.arange(v)[None] < counts[:, None], 10.0, -10.0)
+            .astype(np.float32)),
+        "existence_probabilities": jax.nn.sigmoid(jnp.asarray(
+            np.where(np.arange(v)[None] < counts[:, None], 10.0, -10.0)
+            .astype(np.float32))),
+        "edge_logits": jnp.asarray(np.where(labels > 0, 10.0, -10.0)
+                                   .astype(np.float32)),
+        "pair_mask": jnp.ones((b, e), bool),
+    }
+    targets = {
+        "vertices": jnp.asarray(tgt),
+        "vertex_existence": jnp.asarray(
+            (np.arange(v)[None] < counts[:, None]).astype(np.float32)),
+        "edge_labels": jnp.asarray(labels),
+        "vertex_counts": jnp.asarray(counts),
+    }
+    losses = wireframe_loss(preds, targets, WireframeLossConfig())
+    edge_probs = jax.nn.sigmoid(preds["edge_logits"])
+    m = _edge_prf(edge_probs, losses)
+    assert float(m["train_edge_f1"]) == 1.0
+    assert float(m["train_edge_precision"]) == 1.0
+    assert float(m["train_edge_recall"]) == 1.0
+    # Flipping every prediction kills precision and recall.
+    m0 = _edge_prf(1.0 - edge_probs, losses)
+    assert float(m0["train_edge_f1"]) < 0.5

@@ -236,4 +236,9 @@ def wireframe_loss(predictions: Dict[str, jnp.ndarray],
         "existence_loss": existence_loss,
         "edge_loss": edge_loss,
         "matched_cols": col4row,
+        # The labels/mask the edge BCE actually used (post-matching when
+        # matched_edge_labels) — lets the train step report an in-graph
+        # edge P/R/F1 consistent with the supervision.
+        "edge_labels_eff": edge_labels,
+        "pair_mask_eff": pair_mask,
     }

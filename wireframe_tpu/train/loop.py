@@ -196,6 +196,9 @@ def train_model(cfg: Config, loader: BatchLoader,
                     "edge_loss": m["edge_loss"],
                     "vertex_rmse": m["vertex_rmse"],
                     "hungarian_rmse": m["hungarian_rmse"],
+                    "train_edge_f1": m["train_edge_f1"],
+                    "train_edge_precision": m["train_edge_precision"],
+                    "train_edge_recall": m["train_edge_recall"],
                     "learning_rate": cfg.train.learning_rate,
                     "elapsed_time": elapsed,
                     "best_loss": best_loss,

@@ -49,6 +49,23 @@ def _monitor_metrics(pred_vertices, batch, matched_cols) -> Dict[str, jnp.ndarra
     return {"vertex_rmse": rmse0, "hungarian_rmse": h_rmse}
 
 
+def _edge_prf(edge_probs, losses, thresh: float = 0.5):
+    """In-graph train-batch edge precision/recall/F1 at `thresh`, against
+    the labels the edge BCE actually used (matched labels when
+    train.matched_edge_labels; a live-pair observability metric the
+    reference never logs)."""
+    labels = losses["edge_labels_eff"]
+    mask = losses["pair_mask_eff"]
+    pred_pos = (edge_probs > thresh).astype(jnp.float32) * mask
+    pos = labels * mask
+    tp = jnp.sum(pred_pos * pos)
+    p = tp / jnp.maximum(jnp.sum(pred_pos), 1.0)
+    r = tp / jnp.maximum(jnp.sum(pos), 1.0)
+    f1 = 2.0 * p * r / jnp.maximum(p + r, 1e-9)
+    return {"train_edge_precision": p, "train_edge_recall": r,
+            "train_edge_f1": f1}
+
+
 def make_train_step(cfg: Config) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics)."""
     loss_cfg = WireframeLossConfig(
@@ -108,6 +125,7 @@ def make_train_step(cfg: Config) -> Callable:
         }
         metrics.update(_monitor_metrics(
             preds["vertices"], work_batch, losses["matched_cols"]))
+        metrics.update(_edge_prf(preds["edge_probs"], losses))
         return new_state, metrics
 
     return train_step
