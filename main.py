@@ -152,6 +152,18 @@ def main(argv=None):
     state = train_model(cfg, loader, metric_writer=writer, state=state,
                         start_epoch=start_epoch)
 
+    if start_epoch >= cfg.train.num_epochs:
+        # `--resume` on an already-finished run: zero epochs executed, so
+        # there is nothing new to save.  Writing here would REPLACE the
+        # real EMA checkpoint with a copy of the final params (the EMA
+        # trajectory is re-seeded from them on resume, not checkpointed)
+        # — silently changing later `evaluate.py --checkpoint-dir ck/ema`
+        # results.
+        print(f"✓ training already complete at epoch {start_epoch}; "
+              f"checkpoints left untouched")
+        writer.close()
+        return 0
+
     path = save_checkpoint(args.checkpoint_dir, int(state.step),
                            state.params, state.opt_state, cfg,
                            epoch=max(start_epoch, cfg.train.num_epochs))

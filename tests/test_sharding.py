@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from wireframe_tpu.utils.synth import make_random_batch
 from wireframe_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -75,7 +76,6 @@ def test_train_model_consumes_parallel_config(rng):
     trains on all 8 virtual devices and matches the single-device run."""
     from wireframe_tpu.config import Config
     from wireframe_tpu.data.loader import ArrayBatchLoader
-    from wireframe_tpu.ops.pairs import num_pairs
     from wireframe_tpu.train.loop import train_model
 
     def cfg_for(dp, mp):
@@ -98,18 +98,7 @@ def test_train_model_consumes_parallel_config(rng):
         return cfg
 
     b, n, d, v = 8, 64, 8, 8
-    e = num_pairs(v)
-    counts = rng.integers(3, v + 1, size=b).astype(np.int32)
-    batch = {
-        "point_clouds": rng.normal(size=(b, n, d)).astype(np.float32),
-        "target_vertices": (rng.normal(size=(b, v, 3)) * (
-            np.arange(v)[None, :, None] < counts[:, None, None])
-        ).astype(np.float32),
-        "vertex_existence": (np.arange(v)[None, :] < counts[:, None]
-                             ).astype(np.float32),
-        "vertex_counts": counts,
-        "edge_labels": (rng.random((b, e)) < 0.2).astype(np.float32),
-    }
+    batch = make_random_batch(cfg_for(1, 1), b, seed=7, edge_density=0.2)
 
     s1 = train_model(cfg_for(1, 1), ArrayBatchLoader([dict(batch)]))
     s2 = train_model(cfg_for(4, 2), ArrayBatchLoader([dict(batch)]))
@@ -241,7 +230,6 @@ def test_sharded_train_step_matches_single_device(rng):
     loss and parameter update as the unsharded step (GSPMD partitioning
     must not change semantics)."""
     from wireframe_tpu.config import Config
-    from wireframe_tpu.ops.pairs import num_pairs
     from wireframe_tpu.train.state import create_train_state
     from wireframe_tpu.train.step import make_train_step
 
@@ -256,18 +244,7 @@ def test_sharded_train_step_matches_single_device(rng):
     cfg.__post_init__()
 
     b, n, d, v = 8, 64, 8, 8
-    e = num_pairs(v)
-    counts = rng.integers(3, v + 1, size=b).astype(np.int32)
-    batch = {
-        "point_clouds": rng.normal(size=(b, n, d)).astype(np.float32),
-        "target_vertices": (rng.normal(size=(b, v, 3)) * (
-            np.arange(v)[None, :, None] < counts[:, None, None])
-        ).astype(np.float32),
-        "vertex_existence": (np.arange(v)[None, :] < counts[:, None]
-                             ).astype(np.float32),
-        "vertex_counts": counts,
-        "edge_labels": (rng.random((b, e)) < 0.2).astype(np.float32),
-    }
+    batch = make_random_batch(cfg, b, seed=7, edge_density=0.2)
 
     state = create_train_state(cfg, jax.random.PRNGKey(0), (b, n, d))
     step = jax.jit(make_train_step(cfg))

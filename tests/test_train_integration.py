@@ -106,27 +106,16 @@ def test_checkpoint_round_trip(tmp_path, corpus):
 def test_ema_params_track_weights(rng):
     """train.ema_decay maintains an exponential moving average of the
     params inside the jitted step (variance lever, r2 VERDICT weak #1)."""
-    from wireframe_tpu.ops.pairs import num_pairs
+    from wireframe_tpu.utils.synth import make_random_batch
 
     cfg = small_cfg()
     cfg.data.num_points = 64
     cfg.data.max_vertices = 8
     cfg.train.ema_decay = 0.9
     cfg.__post_init__()
-    b, n, d, v = 2, 64, 8, 8
-    e = num_pairs(v)
-    counts = rng.integers(3, v + 1, size=b).astype(np.int32)
-    batch = {
-        "point_clouds": jnp.asarray(
-            rng.normal(size=(b, n, d)).astype(np.float32)),
-        "target_vertices": jnp.asarray(
-            rng.normal(size=(b, v, 3)).astype(np.float32)),
-        "vertex_existence": jnp.asarray(
-            (np.arange(v)[None, :] < counts[:, None]).astype(np.float32)),
-        "vertex_counts": jnp.asarray(counts),
-        "edge_labels": jnp.asarray(
-            (rng.random((b, e)) < 0.2).astype(np.float32)),
-    }
+    b, n, d = 2, 64, 8
+    batch = {k: jnp.asarray(a) for k, a in
+             make_random_batch(cfg, b, seed=7, edge_density=0.2).items()}
     state = create_train_state(cfg, jax.random.PRNGKey(0), (b, n, d))
     assert state.ema_params is not None
     p0 = jax.tree_util.tree_map(lambda x: x.copy(), state.params)

@@ -56,8 +56,17 @@ def main(argv=None) -> int:
     from wireframe_tpu.ops.pairs import num_pairs
     from wireframe_tpu.train.state import create_train_state
     from wireframe_tpu.train.step import make_forward_fn, make_train_step
+    from wireframe_tpu.utils.synth import make_random_batch
 
-    cfg = load_config(args.config if os.path.exists(args.config) else None)
+    # Resolve the default config against the repo root so the tool works
+    # from any cwd; a missing path fails loudly instead of silently
+    # measuring the default model's compile times.
+    config_path = args.config
+    if not os.path.isabs(config_path) and not os.path.exists(config_path):
+        config_path = os.path.join(REPO, args.config)
+    if not os.path.exists(config_path):
+        p.error(f"config not found: {args.config}")
+    cfg = load_config(config_path)
     cfg.data.num_points = args.points
     cfg.train.device_augment = False
     cfg.__post_init__()
@@ -90,19 +99,8 @@ def main(argv=None) -> int:
     want = set(args.programs.split(","))
 
     if "train" in want:
-        batch = {
-            "point_clouds": jnp.asarray(
-                r.normal(size=(b, n, d)).astype(np.float32)),
-            "target_vertices": jnp.asarray(
-                (r.normal(size=(b, v, 3))
-                 * (np.arange(v)[None, :, None] < counts[:, None, None]))
-                .astype(np.float32)),
-            "vertex_existence": jnp.asarray(
-                (np.arange(v)[None, :] < counts[:, None]).astype(np.float32)),
-            "vertex_counts": jnp.asarray(counts),
-            "edge_labels": jnp.asarray(
-                (r.random((b, e)) < 0.1).astype(np.float32)),
-        }
+        batch = {k: jnp.asarray(a) for k, a in
+                 make_random_batch(cfg, b).items()}
         measure(f"train_step_B{b}", jax.jit(make_train_step(cfg)),
                 state, batch, jax.random.PRNGKey(1))
 

@@ -62,7 +62,6 @@ def main(argv=None):
     from wireframe_tpu.config import load_config
     from wireframe_tpu.models.wireframe import PointCloudToWireframe
     from wireframe_tpu.ops.lsa import solve_lsa_rows_batch
-    from wireframe_tpu.ops.pairs import num_pairs
     from wireframe_tpu.train.state import create_train_state
     from wireframe_tpu.train.step import make_train_step
 
@@ -71,23 +70,12 @@ def main(argv=None):
     cfg.train.device_augment = False
     cfg.__post_init__()
 
+    from wireframe_tpu.utils.synth import make_random_batch
+
     b, n, d = args.batch, args.points, cfg.model.input_dim
-    v, e = cfg.model.max_vertices, num_pairs(cfg.model.max_vertices)
+    v = cfg.model.max_vertices
     r = np.random.default_rng(0)
-    counts = r.integers(4, v + 1, size=b).astype(np.int32)
-    batch = {
-        "point_clouds": jnp.asarray(
-            r.normal(size=(b, n, d)).astype(np.float32)),
-        "target_vertices": jnp.asarray(
-            (r.normal(size=(b, v, 3))
-             * (np.arange(v)[None, :, None] < counts[:, None, None]))
-            .astype(np.float32)),
-        "vertex_existence": jnp.asarray(
-            (np.arange(v)[None] < counts[:, None]).astype(np.float32)),
-        "vertex_counts": jnp.asarray(counts),
-        "edge_labels": jnp.asarray(
-            (r.random((b, e)) < 0.1).astype(np.float32)),
-    }
+    batch = {k: jnp.asarray(a) for k, a in make_random_batch(cfg, b).items()}
     state = create_train_state(cfg, jax.random.PRNGKey(0), (1, 256, d))
     model = PointCloudToWireframe(cfg.model)
 

@@ -63,6 +63,39 @@ def run(cmd, log_path):
     return text, dt
 
 
+def _eval_variants(args, seed, variants, results_path, train_s):
+    """Evaluate checkpoint variants and append records to results.jsonl.
+
+    The study's `--set` overrides are forwarded to evaluate.py too:
+    model-scoped keys round-trip through checkpoint metadata anyway
+    (`apply_checkpoint_model_config`), but data/eval-scoped keys (e.g.
+    `eval.edge_confidence_thresh`) stay CLI-controlled — dropping them
+    would record metrics for a different configuration than the one
+    nominally studied.
+    """
+    for variant, vdir in variants:
+        eval_cmd = [sys.executable, "evaluate.py", "--config",
+                    args.config, "--data-root", args.data_root,
+                    "--checkpoint-dir", vdir]
+        for ov in args.overrides:
+            eval_cmd += ["--set", ov]
+        text, eval_s = run(eval_cmd, os.path.join(
+            args.out, f"{args.tag}_s{seed}_{variant}_eval.log"))
+        m = parse_metrics(text)
+        if "edge_f1" not in m:
+            raise RuntimeError(
+                f"no metrics parsed from eval output:\n{text[-2000:]}")
+        rec = {"tag": args.tag, "seed": seed, "variant": variant,
+               "train_s": round(train_s, 1), "eval_s": round(eval_s, 1),
+               **m}
+        with open(results_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[seed_study] {args.tag} seed {seed} [{variant}]: "
+              f"E-F1 {m.get('edge_f1'):.3f} WED {m.get('wed'):.3f} "
+              f"C-F1 {m.get('corner_f1'):.3f} ACO {m.get('aco'):.3f}",
+              flush=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="configs/recommended.yaml")
@@ -87,11 +120,29 @@ def main(argv=None):
 
     seeds = [int(s) for s in args.seeds.split(",")]
     for seed in seeds:
-        key = (args.tag, seed, "final")
-        if key in done:
-            print(f"[seed_study] {args.tag} seed {seed}: already recorded")
-            continue
         ckdir = os.path.join(args.out, f"{args.tag}_s{seed}")
+        if (args.tag, seed, "final") in done:
+            # Crash-resume: the final variant is recorded.  If --eval-ema
+            # is requested but the ema record is missing, evaluate it now
+            # when the checkpoint survived (--keep-checkpoints), else
+            # warn loudly — a silent skip would make the EMA summary
+            # average over fewer seeds than the final summary.
+            if args.eval_ema and (args.tag, seed, "ema") not in done:
+                ema_dir = os.path.join(ckdir, "ema")
+                if os.path.isdir(ema_dir):
+                    _eval_variants(args, seed, [("ema", ema_dir)],
+                                   results_path, train_s=done[
+                                       (args.tag, seed, "final")]["train_s"])
+                else:
+                    print(f"[seed_study] WARNING: {args.tag} seed {seed} "
+                          f"has no ema record and its checkpoint was "
+                          f"deleted — the ema summary will cover fewer "
+                          f"seeds (rerun this seed or use "
+                          f"--keep-checkpoints)", flush=True)
+            else:
+                print(f"[seed_study] {args.tag} seed {seed}: already "
+                      f"recorded")
+            continue
         train_cmd = [sys.executable, "main.py", "--config", args.config,
                      "--data-root", args.data_root,
                      "--checkpoint-dir", ckdir,
@@ -106,25 +157,7 @@ def main(argv=None):
         variants = [("final", ckdir)]
         if args.eval_ema and os.path.isdir(os.path.join(ckdir, "ema")):
             variants.append(("ema", os.path.join(ckdir, "ema")))
-        for variant, vdir in variants:
-            eval_cmd = [sys.executable, "evaluate.py", "--config",
-                        args.config, "--data-root", args.data_root,
-                        "--checkpoint-dir", vdir]
-            text, eval_s = run(eval_cmd, os.path.join(
-                args.out, f"{args.tag}_s{seed}_{variant}_eval.log"))
-            m = parse_metrics(text)
-            if "edge_f1" not in m:
-                raise RuntimeError(
-                    f"no metrics parsed from eval output:\n{text[-2000:]}")
-            rec = {"tag": args.tag, "seed": seed, "variant": variant,
-                   "train_s": round(train_s, 1), "eval_s": round(eval_s, 1),
-                   **m}
-            with open(results_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-            print(f"[seed_study] {args.tag} seed {seed} [{variant}]: "
-                  f"E-F1 {m.get('edge_f1'):.3f} WED {m.get('wed'):.3f} "
-                  f"C-F1 {m.get('corner_f1'):.3f} ACO {m.get('aco'):.3f}",
-                  flush=True)
+        _eval_variants(args, seed, variants, results_path, train_s)
         if not args.keep_checkpoints:
             import shutil
 

@@ -96,7 +96,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--points", type=int, default=2560)
     p.add_argument("--config", default="configs/recommended.yaml")
-    p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--steps", type=int, default=None,
+                   help="steps to capture (default 6) — REQUIRED with "
+                        "--trace-dir, where it must state how many steps "
+                        "the existing trace holds (per-step numbers are "
+                        "totals divided by this)")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--set", action="append", default=[], dest="overrides")
     p.add_argument("--json", default=None)
@@ -105,13 +109,17 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     trace_dir = args.trace_dir
+    if trace_dir is not None and args.steps is None:
+        p.error("--trace-dir needs an explicit --steps (the step count "
+                "the trace was captured with); guessing would silently "
+                "mis-scale every ms/step number")
+    if args.steps is None:
+        args.steps = 6
     if trace_dir is None:
         import jax
         import jax.numpy as jnp
-        import numpy as np
 
         from wireframe_tpu.config import load_config
-        from wireframe_tpu.ops.pairs import num_pairs
         from wireframe_tpu.train.state import create_train_state
         from wireframe_tpu.train.step import make_train_step
         from wireframe_tpu.utils.platform import (
@@ -127,23 +135,11 @@ def main(argv=None) -> int:
         cfg.train.device_augment = False
         cfg.__post_init__()
 
-        b, n, d = args.batch, args.points, cfg.model.input_dim
-        v, e = cfg.model.max_vertices, num_pairs(cfg.model.max_vertices)
-        r = np.random.default_rng(0)
-        counts = r.integers(4, v + 1, size=b).astype(np.int32)
-        batch = {
-            "point_clouds": jnp.asarray(
-                r.normal(size=(b, n, d)).astype(np.float32)),
-            "target_vertices": jnp.asarray(
-                (r.normal(size=(b, v, 3))
-                 * (np.arange(v)[None, :, None] < counts[:, None, None]))
-                .astype(np.float32)),
-            "vertex_existence": jnp.asarray(
-                (np.arange(v)[None] < counts[:, None]).astype(np.float32)),
-            "vertex_counts": jnp.asarray(counts),
-            "edge_labels": jnp.asarray(
-                (r.random((b, e)) < 0.1).astype(np.float32)),
-        }
+        from wireframe_tpu.utils.synth import make_random_batch
+
+        d = cfg.model.input_dim
+        batch = {k: jnp.asarray(a) for k, a in
+                 make_random_batch(cfg, args.batch).items()}
         state = create_train_state(cfg, jax.random.PRNGKey(0), (1, 256, d))
         step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
 
