@@ -59,6 +59,14 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from wireframe_tpu.utils.platform import (
+        enable_compile_cache,
+        honor_env_platform,
+    )
+
+    honor_env_platform()
+    enable_compile_cache()
+
     from wireframe_tpu.config import load_config
     from wireframe_tpu.models.wireframe import PointCloudToWireframe
     from wireframe_tpu.ops.lsa import solve_lsa_rows_batch
