@@ -86,19 +86,38 @@ def create_train_state(cfg: Config, rng: jax.Array,
     model = PointCloudToWireframe(cfg.model)
     if sample_batch_shape is None:
         sample_batch_shape = (1, cfg.data.num_points, cfg.model.input_dim)
+    tx = make_optimizer(cfg, steps_per_epoch)
+
+    # One jitted program for model + optimizer + EMA init.  Eager init
+    # dispatches thousands of tiny ops; on a tunneled TPU each pays the
+    # ~25 ms host round trip, making init the DOMINANT cold-start cost
+    # (measured 205-214 s, tools/compile_report.py — warm compile cache
+    # included, since eager ops never hit it).  As one program it
+    # compiles in seconds, lands in the persistent cache, and reruns in
+    # well under a second.  The EMA starts as an explicit jnp.copy:
+    # copy_p is never elided, so the ema buffers are distinct from the
+    # params buffers — the train step donates the whole state, and
+    # donating one buffer through two pytree slots is a TPU runtime
+    # error (verified on-chip).
+    want_ema = cfg.train.ema_decay > 0
+
+    def _init(rng, x, counts):
+        params = model.init({"params": rng}, x, counts,
+                            train=False)["params"]
+        ema = (jax.tree_util.tree_map(jnp.copy, params)
+               if want_ema else None)
+        return params, tx.init(params), ema
+
     dummy = jnp.zeros(sample_batch_shape, jnp.float32)
     dummy_counts = jnp.full((sample_batch_shape[0],), 4, jnp.int32)
-    params = model.init(
-        {"params": rng}, dummy, dummy_counts, train=False)["params"]
-    tx = make_optimizer(cfg, steps_per_epoch)
+    params, opt_state, ema_params = jax.jit(_init)(rng, dummy, dummy_counts)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         tx=tx,
         apply_fn=model.apply,
-        ema_params=(jax.tree_util.tree_map(jnp.array, params)
-                    if cfg.train.ema_decay > 0 else None),
+        ema_params=ema_params,
     )
 
 
