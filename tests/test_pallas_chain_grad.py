@@ -236,3 +236,39 @@ def test_stash_backward_bf16_gate_semantics(rng):
     rel = np.abs(dx1 - dx2) / (np.abs(dx1) + np.abs(dx2) + 1e-3)
     flips = rel > 0.05
     assert flips.mean() < 0.05, f"gate-flip fraction {flips.mean():.3f}"
+
+
+def test_chain_tile_invariance_and_encoder_routing(rng):
+    """The chain is pointwise over the point axis, so tile size changes
+    results only through matmul reduction blocking (float-level noise,
+    ~1e-6) — the basis for the split train/inference tile defaults
+    (ModelConfig.pallas_chain_tile=256 vs pallas_tile=512) — and the
+    encoder module's differentiable path must honor chain_tile when the
+    point count only divides the chain tile."""
+    b, n, d, c = 2, 128, 8, 64
+    sp, fw, fb = make_params(rng, d, [32, 64], c)
+    sp = tuple(sp)
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    xj = jnp.asarray(x)
+
+    out32 = make_differentiable_chain(
+        tile=32, compute_dtype=jnp.float32)(xj, sp, fw, fb)
+    out128 = make_differentiable_chain(
+        tile=128, compute_dtype=jnp.float32)(xj, sp, fw, fb)
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(out128),
+                               rtol=1e-4, atol=1e-5)
+
+    # n=128 divides chain_tile=64 but NOT pallas_tile=96: with the split
+    # knob the differentiable path stays on the Pallas chain.
+    from wireframe_tpu.models.encoder import PointNetEncoder
+
+    enc = PointNetEncoder(input_dim=d, hidden_dims=(32, 64), output_dim=c,
+                          use_pallas=True, differentiable=True,
+                          pallas_tile=96, chain_tile=64)
+    params = enc.init(jax.random.PRNGKey(0), xj)
+    g, pooled, _ = enc.apply(params, xj)
+    enc_ref = PointNetEncoder(input_dim=d, hidden_dims=(32, 64),
+                              output_dim=c, use_pallas=False)
+    g_ref, pooled_ref, _ = enc_ref.apply(params, xj)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)

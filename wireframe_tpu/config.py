@@ -103,6 +103,15 @@ class ModelConfig:
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     use_pallas_encoder: bool = False  # fused Pallas point-MLP+pool kernel
     pallas_tile: int = 512            # points per kernel grid step
+    # Tile for the TRAINING chain kernel only (0 = use pallas_tile).
+    # The two paths prefer different tiles on v5e at N=2560: the fused
+    # inference kernel is 2.1x faster at 512 than 256, while the
+    # custom-VJP train chain is ~5% faster at 256 than 512 (measured
+    # B=64/B=128, tools/profile_train_step.py round 3).  The chain is
+    # pointwise per tile (pooling stays in XLA); tile size affects
+    # numerics only via matmul reduction blocking (~1e-6 float noise,
+    # tested in test_pallas_chain_grad.py).
+    pallas_chain_tile: int = 256
     # Training backward flavor for the fused encoder: "remat" (minimal
     # HBM, 3x-forward MXU) | "stash" (store pre-LN activations, 2x MXU).
     chain_backward: str = "remat"

@@ -80,6 +80,10 @@ class PointNetEncoder(nn.Module):
     # 256 -> 5763, 512 -> 6015 clouds/s encoder-only at B=128); N must
     # divide by the tile or the encoder falls back to the XLA path.
     pallas_tile: int = 512
+    # Tile for the differentiable training chain only (0 = pallas_tile).
+    # The train chain prefers a SMALLER tile than the inference kernel
+    # (256 vs 512 on v5e, ~5% step win — ModelConfig.pallas_chain_tile).
+    chain_tile: int = 0
     # Custom-VJP backward flavor: "remat" (recompute activations in the
     # backward kernel) or "stash" (forward stores pre-LN activations,
     # backward skips the recompute matmuls) — ops/pallas_chain_grad.py.
@@ -103,7 +107,9 @@ class PointNetEncoder(nn.Module):
                              (self.output_dim,))
 
         n = x.shape[1]
-        use_pallas = self.use_pallas and (n % self.pallas_tile == 0)
+        tile = (self.chain_tile or self.pallas_tile) if self.differentiable \
+            else self.pallas_tile
+        use_pallas = self.use_pallas and (n % tile == 0)
         point_features = None
         if use_pallas and self.differentiable:
             # Training: fused custom-VJP chain for the point MLP; the
@@ -114,7 +120,7 @@ class PointNetEncoder(nn.Module):
             )
 
             chain = make_differentiable_chain(
-                tile=self.pallas_tile, compute_dtype=self.dtype,
+                tile=tile, compute_dtype=self.dtype,
                 backward=self.chain_backward)
             feats = chain(x.astype(jnp.float32), tuple(stage_params),
                           final_w, final_b)                # (B, N, C) f32
@@ -130,7 +136,7 @@ class PointNetEncoder(nn.Module):
         elif use_pallas:
             pooled = fused_point_encoder(
                 x.astype(jnp.float32), stage_params, final_w, final_b,
-                tile=self.pallas_tile,
+                tile=tile,
                 return_point_features=self.return_point_features,
                 compute_dtype=self.dtype)
             point_features = pooled.pop("point_features", None)

@@ -78,6 +78,7 @@ class PointCloudToWireframe(nn.Module):
             use_pallas=cfg.use_pallas_encoder,
             differentiable=train,
             pallas_tile=cfg.pallas_tile,
+            chain_tile=getattr(cfg, "pallas_chain_tile", 0),
             chain_backward=cfg.chain_backward,
             name="encoder",
         )
