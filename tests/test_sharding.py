@@ -281,3 +281,58 @@ def test_sharded_train_step_matches_single_device(rng):
     for a, c2 in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c2),
                                    atol=2.5e-3)
+
+
+@pytest.mark.slow
+def test_mesh_train_flagship_query_kv_pool_arch(rng):
+    """The RECIPE architecture (query vertex decoder + decoder_kv_pool +
+    matched labels + existence slot masks — configs/recommended.yaml)
+    under the production loop on a dp=4 x mp=2 mesh: trains to the same
+    params as single-device within GSPMD float noise.  The forward is
+    bit-equal under sharding (test_kv_pool_forward_sharded...); gradients
+    pick up reduction-order noise through the decoder's attention
+    softmax over the mp-sharded point axis, which Adam's sign-scaled
+    first steps amplify to ~2*lr on near-zero-grad entries — hence the
+    same atol as the mlp-arch test above."""
+    from wireframe_tpu.config import Config
+    from wireframe_tpu.data.loader import ArrayBatchLoader
+    from wireframe_tpu.train.loop import train_model
+
+    def cfg_for(dp, mp):
+        cfg = Config()
+        cfg.data.num_points = 64
+        cfg.data.max_vertices = 8
+        cfg.model.encoder_hidden_dims = (32,)
+        cfg.model.encoder_output_dim = 32
+        cfg.model.edge_hidden_dim = 32
+        cfg.model.edge_num_heads = 2
+        cfg.model.vertex_head = "query"
+        cfg.model.decoder_dim = 32
+        cfg.model.decoder_layers = 2
+        cfg.model.decoder_heads = 2
+        cfg.model.decoder_ffn_dim = 64
+        cfg.model.decoder_kv_pool = 2
+        cfg.model.slot_mask_mode = "existence"
+        cfg.model.edge_use_slot_features = True
+        cfg.train.matched_edge_labels = True
+        cfg.train.matched_existence_labels = True
+        cfg.train.device_augment = False
+        cfg.train.batch_size = 8
+        cfg.train.num_epochs = 3
+        cfg.train.log_every = 1
+        cfg.train.checkpoint_every = 0
+        cfg.train.overfit_one_batch = True
+        cfg.train.matcher = "device"
+        cfg.parallel.dp, cfg.parallel.mp = dp, mp
+        cfg.__post_init__()
+        return cfg
+
+    batch = make_random_batch(cfg_for(1, 1), 8, seed=3, edge_density=0.2)
+    s1 = train_model(cfg_for(1, 1), ArrayBatchLoader([dict(batch)]))
+    s2 = train_model(cfg_for(4, 2), ArrayBatchLoader([dict(batch)]))
+
+    leaf = jax.tree_util.tree_leaves(s2.params)[0]
+    assert len(leaf.sharding.device_set) == 8, leaf.sharding
+    for a, c in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=8e-3)
