@@ -121,3 +121,46 @@ def test_loader_epochs(corpus):
     # second epoch reshuffles but yields the same structure
     batches2 = list(loader)
     assert len(batches2) == 1
+
+
+def test_augment_extended_levers(rng):
+    """aug_jitter_std noises only VALID point rows (targets and padding
+    untouched); aug_scale_range applies one linear map to cloud AND
+    vertices; rot_degrees=0 leaves coordinates magnitude-preserved
+    (flips only)."""
+    import jax
+
+    from wireframe_tpu.data.augment import augment_batch
+
+    b, n, v, d = 3, 32, 5, 8
+    pc = rng.normal(size=(b, n, d)).astype(np.float32)
+    pc[:, 28:] = 0.0  # padded point rows
+    tv = rng.normal(size=(b, v, 3)).astype(np.float32)
+    tv[:, 4:] = 0.0   # padded vertex rows
+    key = jax.random.PRNGKey(0)
+
+    # Jitter: padding rows stay exactly zero; targets unchanged relative
+    # to the no-jitter run with the same key; valid XYZ rows move.
+    pc_j, tv_j = augment_batch(key, pc, tv, rot_degrees=0.0,
+                               jitter_std=0.01)
+    pc_0, tv_0 = augment_batch(key, pc, tv, rot_degrees=0.0)
+    np.testing.assert_array_equal(np.asarray(pc_j)[:, 28:], 0.0)
+    np.testing.assert_array_equal(np.asarray(tv_j), np.asarray(tv_0))
+    assert np.abs(np.asarray(pc_j)[:, :28, :3]
+                  - np.asarray(pc_0)[:, :28, :3]).max() > 0
+    # rot_degrees=0: flips only — coordinate magnitudes preserved.
+    np.testing.assert_allclose(np.abs(np.asarray(pc_0)[..., :3]),
+                               np.abs(pc[..., :3]), rtol=1e-6)
+
+    # Scale: cloud and vertices transform by the SAME per-sample linear
+    # map (recover it from the points, apply to the vertices).
+    pc_s, tv_s = augment_batch(key, pc, tv, scale_range=0.3)
+    for i in range(b):
+        m, *_ = np.linalg.lstsq(pc[i, :28, :3],
+                                np.asarray(pc_s)[i, :28, :3], rcond=None)
+        np.testing.assert_allclose(tv[i] @ m, np.asarray(tv_s)[i],
+                                   rtol=1e-4, atol=1e-5)
+    # Non-degenerate scaling actually happened for at least one sample.
+    norms = (np.linalg.norm(np.asarray(pc_s)[..., :3], axis=-1).sum(1)
+             / np.linalg.norm(pc[..., :3], axis=-1).sum(1))
+    assert np.abs(norms - 1.0).max() > 1e-3

@@ -173,6 +173,13 @@ class TrainConfig:
     # Device-side augmentation inside the jitted step (TPU-first replacement
     # for the host numpy augment at building3d.py:131-146).
     device_augment: bool = True
+    # Extended augmentation levers beyond the reference's flips + ±5°
+    # z-rotation (defaults reproduce the reference exactly).  The train
+    # corpus is 43 buildings, so regularization-by-augmentation is the
+    # main generalization lever (QUALITY.md: seed variance dominates).
+    aug_rot_degrees: float = 5.0      # z-rotation range (± degrees)
+    aug_jitter_std: float = 0.0       # Gaussian XYZ noise on POINTS only
+    aug_scale_range: float = 0.0      # uniform scale in [1-r, 1+r], cloud+verts
 
 
 @dataclass

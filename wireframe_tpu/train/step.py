@@ -86,7 +86,10 @@ def make_train_step(cfg: Config) -> Callable:
         target_vertices = batch["target_vertices"]
         if do_augment:
             point_clouds, target_vertices = augment_batch(
-                rng_aug, point_clouds, target_vertices)
+                rng_aug, point_clouds, target_vertices,
+                rot_degrees=cfg.train.aug_rot_degrees,
+                jitter_std=cfg.train.aug_jitter_std,
+                scale_range=cfg.train.aug_scale_range)
         work_batch = dict(batch,
                           point_clouds=point_clouds,
                           target_vertices=target_vertices)
