@@ -92,3 +92,46 @@ def test_pooling_padding_invariance(rng):
         np.asarray(masked_max(jnp.asarray(x), jnp.asarray(mask))),
         np.asarray(masked_max(jnp.asarray(xp), jnp.asarray(maskp))),
         rtol=1e-6)
+
+
+def test_window_max_pool_custom_vjp_matches_xla(rng):
+    """The argmax-scatter VJP must match jnp.max's tie-splitting VJP
+    everywhere except exact ties, and per-window cotangent SUMS must
+    match even on ties (so parameter gradients through duplicated
+    points are unchanged — see window_max_pool's docstring)."""
+    import jax
+
+    b, n, c, w = 3, 32, 7, 4
+    x = rng.normal(size=(b, n, c)).astype(np.float32)
+    mask = rng.random((b, n)) > 0.2
+    mask[0, 8:12] = False          # fully-invalid window
+    x[1, 4] = x[1, 5] = x[1, 6]    # duplicated points -> real ties
+    xt, mt = jnp.asarray(x), jnp.asarray(mask)
+    wvec = jnp.arange(c, dtype=jnp.float32) + 1.0
+
+    def ref_pool(f):
+        fr = f.reshape(b, n // w, w, c)
+        mr = mt.reshape(b, n // w, w)
+        filled = jnp.where(mr[..., None], fr, -jnp.inf)
+        pooled = jnp.max(filled, axis=2)
+        wm = jnp.any(mr, axis=2)
+        return jnp.where(wm[..., None], pooled, jnp.zeros_like(pooled))
+
+    def loss(pool_fn, f):
+        p = pool_fn(f)
+        return jnp.sum(p * p * wvec)
+
+    g_new = jax.jit(jax.grad(
+        lambda f: loss(lambda a: window_max_pool(a, mt, w)[0], f)))(xt)
+    g_old = jax.jit(jax.grad(lambda f: loss(ref_pool, f)))(xt)
+    gn, go = np.asarray(g_new), np.asarray(g_old)
+    # per-window sums always equal
+    np.testing.assert_allclose(
+        gn.reshape(b, n // w, w, c).sum(2),
+        go.reshape(b, n // w, w, c).sum(2), atol=1e-5)
+    # element-wise equal off the tied rows
+    tied = np.zeros((b, n), bool)
+    tied[1, 4:8] = True
+    np.testing.assert_allclose(gn[~tied], go[~tied], atol=1e-6)
+    # no gradient leaks into invalid windows' rows
+    assert np.abs(gn[0, 8:12]).max() == 0.0

@@ -13,6 +13,9 @@ wireframe_tpu.parallel.sharded_pool).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 _NEG_INF = -jnp.inf
@@ -50,6 +53,17 @@ def window_max_pool(features: jnp.ndarray, mask: jnp.ndarray,
     and fully-invalid windows pool to 0 (matching `masked_max`).  N is
     padded up to a multiple of `window` with invalid rows, so any bucket
     size works.
+
+    Differentiation uses a custom VJP (argmax saved in forward, one
+    fused scatter pass in backward) instead of `jnp.max`'s tie-splitting
+    rule, whose XLA backward re-reads the inputs and materializes the
+    (B, N/w, w, C) array several times (~7 ms/step at the B=64 recipe —
+    the round-3 trace's biggest non-encoder cost).  Semantics differ
+    only on exact ties, where the full cotangent goes to the lowest-index
+    tied row instead of being split.  For the ties that actually occur —
+    duplicated points from sampling-with-replacement — parameter
+    gradients are unchanged: tied rows have identical activations, and
+    every weight gradient depends only on the SUM of their cotangents.
     """
     if window <= 1:
         return features, mask
@@ -59,10 +73,54 @@ def window_max_pool(features: jnp.ndarray, mask: jnp.ndarray,
         features = jnp.pad(features, ((0, 0), (0, pad), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
     nw = features.shape[1] // window
+    m = mask.reshape(b, nw, window)
+    win_mask = jnp.any(m, axis=2)
+    pooled = _window_max(features, mask, window, win_mask)
+    return pooled, win_mask
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _window_max(features, mask, window, win_mask):
+    pooled, _ = _window_max_fwd_impl(features, mask, window, win_mask)
+    return pooled
+
+
+def _window_max_fwd_impl(features, mask, window, win_mask):
+    b, n, c = features.shape
+    nw = n // window
     f = features.reshape(b, nw, window, c)
     m = mask.reshape(b, nw, window)
     filled = jnp.where(m[..., None], f, _NEG_INF)
     pooled = jnp.max(filled, axis=2)
-    win_mask = jnp.any(m, axis=2)
+    # Lowest tied window offset; int8 is exact for window < 128 and keeps
+    # the saved residual at N*C/window bytes.
+    idx = jnp.argmax(filled, axis=2).astype(jnp.int8)
     pooled = jnp.where(win_mask[..., None], pooled, jnp.zeros_like(pooled))
-    return pooled, win_mask
+    return pooled, idx
+
+
+def _window_max_fwd(features, mask, window, win_mask):
+    pooled, idx = _window_max_fwd_impl(features, mask, window, win_mask)
+    return pooled, (idx, win_mask)
+
+
+def _window_max_bwd(window, residuals, g):
+    idx, win_mask = residuals
+    b, nw, c = idx.shape
+    n = nw * window
+    # Kill cotangents of fully-invalid windows (forward's final `where`),
+    # then route each window's cotangent to its argmax row.  Written as
+    # one expression over the (B, N, C) output so XLA emits a single
+    # fused pass in the features' native layout: each output row n reads
+    # g/idx row n // window (no (B, N/w, w, C) relayout, no re-read of
+    # the forward inputs).
+    g = jnp.where(win_mask[..., None], g, jnp.zeros_like(g))
+    gather = jnp.repeat(g, window, axis=1)              # (B, N, C)
+    idx_full = jnp.repeat(idx, window, axis=1)          # (B, N, C) int8
+    offs = (jnp.arange(n, dtype=jnp.int32) % window).astype(jnp.int8)
+    hit = idx_full == offs[None, :, None]
+    df = jnp.where(hit, gather, jnp.zeros_like(gather))
+    return df, None, None
+
+
+_window_max.defvjp(_window_max_fwd, _window_max_bwd)
