@@ -272,3 +272,111 @@ def test_chain_tile_invariance_and_encoder_routing(rng):
     g_ref, pooled_ref, _ = enc_ref.apply(params, xj)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("backward", ["remat", "stash"])
+def test_chain_kv_pool_matches_xla(rng, backward):
+    """kv_pool>1 path: the kernel-emitted pooled KV and its VJP must
+    match point_encoder_reference + ops.masked_pool.window_max_pool
+    (both outputs cotangent-loaded at once)."""
+    from wireframe_tpu.ops.masked_pool import (
+        point_validity_mask,
+        window_max_pool,
+    )
+
+    b, n, d, c, p = 2, 128, 8, 64, 4
+    sp, fw, fb = make_params(rng, d, [32, 64], c)
+    sp = tuple(sp)
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    x[0, 96:] = 0.0       # padding tail
+    x[1, 8:12] = 0.0      # a fully-invalid window mid-cloud
+    xj = jnp.asarray(x)
+    mask = point_validity_mask(xj)
+
+    chain = make_differentiable_chain(tile=32, compute_dtype=jnp.float32,
+                                      backward=backward, kv_pool=p)
+    feats, pooled = chain(xj, sp, fw, fb)
+    ref_feats = point_encoder_reference(xj, sp, fw, fb,
+                                        compute_dtype=jnp.float32)
+    ref_pooled, ref_wm = window_max_pool(ref_feats, mask, p)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref_feats),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pooled),
+                               rtol=1e-5, atol=1e-5)
+    # fully-invalid window pooled to 0
+    assert not np.asarray(ref_wm)[1, 2]
+    assert np.abs(np.asarray(pooled)[1, 2]).max() == 0.0
+
+    def loss_kv(x, sp, fw, fb):
+        f, pl_ = chain(x, sp, fw, fb)
+        return jnp.sum(f * 0.01) + jnp.sum(pl_ ** 2)
+
+    def loss_ref(x, sp, fw, fb):
+        f = point_encoder_reference(x, sp, fw, fb,
+                                    compute_dtype=jnp.float32)
+        pl_, _ = window_max_pool(f, mask, p)
+        return jnp.sum(f * 0.01) + jnp.sum(pl_ ** 2)
+
+    g1 = jax.grad(loss_kv, argnums=(0, 1, 2, 3))(xj, sp, fw, fb)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xj, sp, fw, fb)
+    _assert_tree_close(g1, g2, rtol=1e-3, atol=2e-4)
+
+
+def test_train_step_kv_pool_pallas_matches_xla(rng):
+    """Same trajectory check with the query decoder + decoder_kv_pool>1:
+    the pallas path pools KV inside the chain kernel, the XLA path pools
+    in the decoder — the two must track at f32."""
+    from wireframe_tpu.config import Config
+    from wireframe_tpu.ops.pairs import num_pairs
+    from wireframe_tpu.train.state import create_train_state
+    from wireframe_tpu.train.step import make_train_step
+
+    def build(use_pallas):
+        cfg = Config()
+        cfg.data.num_points = 64
+        cfg.data.max_vertices = 8
+        cfg.model.use_pallas_encoder = use_pallas
+        cfg.model.pallas_tile = 32
+        cfg.model.vertex_head = "query"
+        cfg.model.decoder_kv_pool = 4
+        cfg.model.decoder_dim = 64
+        cfg.model.decoder_layers = 2
+        cfg.model.decoder_ffn_dim = 128
+        cfg.train.device_augment = False
+        cfg.__post_init__()
+        return cfg
+
+    cfg = build(True)
+    b, n, d, v = 2, 64, cfg.model.input_dim, cfg.model.max_vertices
+    e = num_pairs(v)
+    counts = np.array([5, 7], np.int32)
+    batch = {
+        "point_clouds": jnp.asarray(
+            rng.normal(size=(b, n, d)).astype(np.float32)),
+        "target_vertices": jnp.asarray(
+            (rng.normal(size=(b, v, 3))
+             * (np.arange(v)[None, :, None] < counts[:, None, None]))
+            .astype(np.float32)),
+        "vertex_existence": jnp.asarray(
+            (np.arange(v)[None, :] < counts[:, None]).astype(np.float32)),
+        "vertex_counts": jnp.asarray(counts),
+        "edge_labels": jnp.asarray(
+            (rng.random((b, e)) < 0.2).astype(np.float32)),
+    }
+
+    def run(cfg, n_steps=3):
+        state = create_train_state(cfg, jax.random.PRNGKey(0), (b, n, d))
+        step = jax.jit(make_train_step(cfg))
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for _ in range(n_steps):
+            key, k = jax.random.split(key)
+            state, m = step(state, batch, k)
+            losses.append(float(m["total_loss"]))
+        return losses
+
+    losses_pallas = run(build(True))
+    losses_xla = run(build(False))
+    assert all(np.isfinite(losses_pallas))
+    np.testing.assert_allclose(losses_pallas, losses_xla,
+                               rtol=1e-4, atol=1e-5)

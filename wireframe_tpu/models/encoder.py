@@ -88,6 +88,12 @@ class PointNetEncoder(nn.Module):
     # backward kernel) or "stash" (forward stores pre-LN activations,
     # backward skips the recompute matmuls) — ops/pallas_chain_grad.py.
     chain_backward: str = "remat"
+    # kv_pool=p > 1 on the differentiable-chain path additionally emits
+    # the decoder's KV window max-pool from inside the kernel
+    # (pooled["kv"] (B, N/p, C) + pooled["kv_mask"] (B, N/p)) — saves
+    # the XLA pool's (B, N, C) HBM relayout passes.  Callers must feed
+    # z-sorted points for the windows to be spatially coherent.
+    kv_pool: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -119,11 +125,21 @@ class PointNetEncoder(nn.Module):
                 make_differentiable_chain,
             )
 
+            # Mosaic block rule: pooled tile (tile/p) must keep the
+            # second-minor dim a multiple of 8.
+            kv_pool = self.kv_pool if (
+                self.kv_pool > 1 and tile % self.kv_pool == 0
+                and (tile // self.kv_pool) % 8 == 0) else 0
             chain = make_differentiable_chain(
                 tile=tile, compute_dtype=self.dtype,
-                backward=self.chain_backward)
-            feats = chain(x.astype(jnp.float32), tuple(stage_params),
-                          final_w, final_b)                # (B, N, C) f32
+                backward=self.chain_backward, kv_pool=kv_pool)
+            xf = x.astype(jnp.float32)
+            if kv_pool:
+                feats, pooled_kv = chain(xf, tuple(stage_params),
+                                         final_w, final_b)
+            else:
+                feats = chain(xf, tuple(stage_params),
+                              final_w, final_b)            # (B, N, C) f32
             mask = point_validity_mask(x)
             pooled = {
                 "masked_max": masked_max(feats, mask),
@@ -131,6 +147,11 @@ class PointNetEncoder(nn.Module):
                 "mean": jnp.mean(feats, axis=-2),
                 "max": jnp.max(feats, axis=-2),
             }
+            if kv_pool:
+                b_, n_ = mask.shape
+                pooled["kv"] = pooled_kv
+                pooled["kv_mask"] = jnp.any(
+                    mask.reshape(b_, n_ // kv_pool, kv_pool), axis=-1)
             if self.return_point_features:
                 point_features = feats
         elif use_pallas:

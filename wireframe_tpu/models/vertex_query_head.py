@@ -89,7 +89,8 @@ class QueryVertexDecoder(nn.Module):
     def __call__(self, point_features: jnp.ndarray,
                  point_mask: jnp.ndarray,
                  global_features: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+                 deterministic: bool = True,
+                 kv_pre_pooled: bool = False) -> Dict[str, jnp.ndarray]:
         """
         Args:
           point_features: (B, N, C) per-point encoder features.
@@ -97,8 +98,11 @@ class QueryVertexDecoder(nn.Module):
           global_features: optional (B, G) pooled feature, added to every
             query after projection (gives slots a scene-level prior
             without being their only input).
+          kv_pre_pooled: the caller already window-pooled
+            (point_features, point_mask) — e.g. the encoder chain kernel
+            emitted them (encoder.kv_pool) — so skip the in-module pool.
         """
-        if self.kv_pool > 1:
+        if self.kv_pool > 1 and not kv_pre_pooled:
             # Shrink the KV axis before any projection: every decoder
             # layer's K/V matmuls and (B, H, V, N) attention then run at
             # N/kv_pool tokens (ROADMAP #17 train-step tail).  Max-pool

@@ -80,6 +80,9 @@ class PointCloudToWireframe(nn.Module):
             pallas_tile=cfg.pallas_tile,
             chain_tile=getattr(cfg, "pallas_chain_tile", 0),
             chain_backward=cfg.chain_backward,
+            # Training chain emits the decoder's pooled KV in-kernel
+            # (points are z-sorted above, so windows are coherent).
+            kv_pool=(cfg.decoder_kv_pool if use_query_head else 0),
             name="encoder",
         )
         global_features, pooled, point_features = encoder(point_cloud)
@@ -90,6 +93,12 @@ class PointCloudToWireframe(nn.Module):
             )
             from wireframe_tpu.ops.masked_pool import point_validity_mask
 
+            kv_feats = point_features
+            kv_mask = point_validity_mask(point_cloud)
+            kv_pre_pooled = "kv" in pooled
+            if kv_pre_pooled:
+                kv_feats = pooled["kv"]
+                kv_mask = pooled["kv_mask"]
             vertex_out = QueryVertexDecoder(
                 max_vertices=cfg.max_vertices,
                 dim=cfg.decoder_dim,
@@ -101,8 +110,9 @@ class PointCloudToWireframe(nn.Module):
                 remat=cfg.decoder_remat,
                 kv_pool=cfg.decoder_kv_pool,
                 name="vertex_decoder",
-            )(point_features, point_validity_mask(point_cloud),
-              global_features, deterministic=not train)
+            )(kv_feats, kv_mask,
+              global_features, deterministic=not train,
+              kv_pre_pooled=kv_pre_pooled)
         else:
             vertex_out = VertexPredictor(
                 global_feature_dim=cfg.encoder_output_dim,

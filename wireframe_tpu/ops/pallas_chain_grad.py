@@ -98,13 +98,73 @@ def _recompute_stages(x_tile, stage_refs, cdt, eps=1e-6):
     return hs, xhats, rstds
 
 
+def _kv_pool_tile_fwd(x_tile, out, p):
+    """In-kernel masked window max-pool of one tile's features.
+
+    x_tile: (T, D) raw input rows (for the validity mask), out: (T, C)
+    f32 features.  Returns (pooled (T/p, C) f32, idx (T/p, C) int32) with
+    `ops.masked_pool.window_max_pool` semantics: invalid rows contribute
+    -inf, fully-invalid windows pool to 0, ties go to the lowest offset.
+    """
+    t, c = out.shape
+    valid = jnp.abs(jnp.sum(x_tile, axis=-1)) > 1e-9        # (T,)
+    filled = jnp.where(valid[:, None], out, -jnp.inf)
+    fr = filled.reshape(t // p, p, c)
+    pm = jnp.max(fr, axis=1)
+    idx = jnp.argmax(fr, axis=1).astype(jnp.int32)
+    pooled = jnp.where(jnp.isfinite(pm), pm, 0.0)
+    return pooled, idx
+
+
+def _kv_pool_tile_bwd(x_tile, dpool, idx, p):
+    """Scatter one tile's pooled-KV cotangent back onto its rows.
+
+    Inverse of `_kv_pool_tile_fwd`: rows of fully-invalid windows get 0
+    (their pooled output was the constant 0), otherwise the window's
+    cotangent lands on its argmax row.  Returns (T, C) f32.
+    """
+    tp, c = dpool.shape
+    valid = jnp.abs(jnp.sum(x_tile, axis=-1)) > 1e-9        # (T,)
+    win_valid = jnp.any(valid.reshape(tp, p), axis=1)       # (T/p,)
+    dp = jnp.where(win_valid[:, None], dpool, 0.0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, p, c), 1)
+    scat = jnp.where(k_iota == idx[:, None, :], dp[:, None, :], 0.0)
+    return scat.reshape(tp * p, c)
+
+
+def _kv_out_extras(b, n, c, tile, kv_pool):
+    """(out_shape, out_specs) for the pooled-KV forward outputs."""
+    np_ = n // kv_pool
+    tp = tile // kv_pool
+    assert tp % 8 == 0 or tp == np_, (
+        f"pooled tile {tp} violates Mosaic's sublane rule "
+        f"(tile={tile}, kv_pool={kv_pool})")
+    shapes = [jax.ShapeDtypeStruct((b, np_, c), jnp.float32),
+              jax.ShapeDtypeStruct((b, np_, c), jnp.int32)]
+    specs = [pl.BlockSpec((1, tp, c), lambda bi, ti: (bi, ti, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, tp, c), lambda bi, ti: (bi, ti, 0),
+                          memory_space=pltpu.VMEM)]
+    return shapes, specs
+
+
 def _chain_forward_pallas(x, stage_params, final_w, final_b,
-                          *, tile, cdt, interpret):
-    """Fused forward: (B, N, D) -> per-point features (B, N, C) f32."""
+                          *, tile, cdt, interpret, kv_pool=0):
+    """Fused forward: (B, N, D) -> per-point features (B, N, C) f32.
+
+    With kv_pool=p > 1 the kernel also emits the masked window max-pool
+    of the features over groups of p consecutive rows — the decoder's KV
+    tokens — plus the window argmax for the backward scatter, straight
+    from VMEM (the XLA formulation costs ~2.5 ms/step of HBM relayout
+    traffic at the B=64 recipe).  Returns feats or
+    (feats, pooled (B, N/p, C), idx (B, N/p, C) int32).
+    """
     b, n, d = x.shape
     c = final_w.shape[-1]
     n_stages = len(stage_params)
     assert n % tile == 0, f"N={n} not divisible by tile={tile}"
+    if kv_pool:
+        assert tile % kv_pool == 0, (tile, kv_pool)
     grid = (b, n // tile)
 
     flat_params, param_specs = _pack_params(stage_params, final_w,
@@ -128,31 +188,48 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
             h = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
             h = _ln(h + b_ref[0], g_ref[0], be_ref[0])
             h = jnp.maximum(h, 0.0).astype(cdt)
-        out_ref[0] = jnp.dot(h, fw_ref[:],
-                             preferred_element_type=jnp.float32) + fb_ref[0]
+        out = jnp.dot(h, fw_ref[:],
+                      preferred_element_type=jnp.float32) + fb_ref[0]
+        out_ref[0] = out
+        if kv_pool:
+            pool_ref, idx_ref = refs[4 + 4 * n_stages:]
+            pooled, idx = _kv_pool_tile_fwd(x_ref[0], out, kv_pool)
+            pool_ref[0] = pooled
+            idx_ref[0] = idx
 
     stage_flops = sum(2 * w.shape[0] * w.shape[1]
                       for (w, *_r) in stage_params)
     stage_flops += 2 * final_w.shape[0] * final_w.shape[1]
 
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, n, c), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
+                              memory_space=pltpu.VMEM)]
+    kv_bytes = 0
+    if kv_pool:
+        kv_shapes, kv_specs = _kv_out_extras(b, n, c, tile, kv_pool)
+        out_shape += kv_shapes
+        out_specs += kv_specs
+        kv_bytes = sum(s.size * jnp.dtype(s.dtype).itemsize
+                       for s in kv_shapes)
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        out_specs=out_specs if kv_pool else out_specs[0],
+        out_shape=out_shape if kv_pool else out_shape[0],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * n * stage_flops,
-            bytes_accessed=x.size * 4 + b * n * c * 4
+            bytes_accessed=x.size * 4 + b * n * c * 4 + kv_bytes
             + sum(p.size * p.dtype.itemsize for p in flat_params),
             transcendentals=0,
         ),
     )(x, *flat_params)
+    return outs
 
 
 def _stage_widths(stage_params):
@@ -160,19 +237,22 @@ def _stage_widths(stage_params):
 
 
 def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
-                                *, tile, cdt, interpret):
+                                *, tile, cdt, interpret, kv_pool=0):
     """Fused forward that ALSO writes each stage's pre-LayerNorm
     activations z_k (in `cdt`) to HBM, so the stash backward can skip
     the recompute matmuls entirely (~1/3 of the remat backward's MXU
     work for ~2x the chain's HBM activation traffic — a win whenever
     the chain is compute-bound, which it is at the production widths).
 
-    Returns (features (B, N, C) f32, tuple of z_k (B, N, H_k) cdt).
+    Returns (features (B, N, C) f32, tuple of z_k (B, N, H_k) cdt);
+    with kv_pool > 1 also (pooled, idx) — see `_chain_forward_pallas`.
     """
     b, n, d = x.shape
     c = final_w.shape[-1]
     n_stages = len(stage_params)
     assert n % tile == 0, f"N={n} not divisible by tile={tile}"
+    if kv_pool:
+        assert tile % kv_pool == 0, (tile, kv_pool)
     grid = (b, n // tile)
 
     flat_params, param_specs = _pack_params(stage_params, final_w,
@@ -191,6 +271,13 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
         out_specs.append(pl.BlockSpec((1, tile, h),
                                       lambda bi, ti: (bi, ti, 0),
                                       memory_space=pltpu.VMEM))
+    kv_bytes = 0
+    if kv_pool:
+        kv_shapes, kv_specs = _kv_out_extras(b, n, c, tile, kv_pool)
+        out_shape += kv_shapes
+        out_specs += kv_specs
+        kv_bytes = sum(s.size * jnp.dtype(s.dtype).itemsize
+                       for s in kv_shapes)
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -199,7 +286,7 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
         fw_ref = refs[1 + 4 * n_stages]
         fb_ref = refs[2 + 4 * n_stages]
         out_ref = refs[3 + 4 * n_stages]
-        z_refs = refs[4 + 4 * n_stages:]
+        z_refs = refs[4 + 4 * n_stages: 4 + 4 * n_stages + n_stages]
 
         h = x_ref[0].astype(cdt)
         for k, (w_ref, b_ref, g_ref, be_ref) in enumerate(stage_refs):
@@ -207,8 +294,14 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
             z = z + b_ref[0]
             z_refs[k][0] = z.astype(cdt)
             h = jnp.maximum(_ln(z, g_ref[0], be_ref[0]), 0.0).astype(cdt)
-        out_ref[0] = jnp.dot(h, fw_ref[:],
-                             preferred_element_type=jnp.float32) + fb_ref[0]
+        out = jnp.dot(h, fw_ref[:],
+                      preferred_element_type=jnp.float32) + fb_ref[0]
+        out_ref[0] = out
+        if kv_pool:
+            pool_ref, idx_ref = refs[4 + 5 * n_stages:]
+            pooled, idx = _kv_pool_tile_fwd(x_ref[0], out, kv_pool)
+            pool_ref[0] = pooled
+            idx_ref[0] = idx
 
     stage_flops = sum(2 * w.shape[0] * w.shape[1]
                       for (w, *_r) in stage_params)
@@ -227,11 +320,13 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * n * stage_flops,
-            bytes_accessed=x.size * 4 + b * n * c * 4 + z_bytes
+            bytes_accessed=x.size * 4 + b * n * c * 4 + z_bytes + kv_bytes
             + sum(p.size * p.dtype.itemsize for p in flat_params),
             transcendentals=0,
         ),
     )(x, *flat_params)
+    if kv_pool:
+        return outs[0], tuple(outs[1:1 + n_stages]), outs[-2], outs[-1]
     return outs[0], tuple(outs[1:])
 
 
@@ -258,7 +353,8 @@ def _stages_from_z(x_tile, z_list, stage_refs, cdt, eps=1e-6):
 
 
 def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
-                           *, tile, cdt, interpret, zs=None):
+                           *, tile, cdt, interpret, zs=None,
+                           kv_pool=0, dpool=None, kv_idx=None):
     """Backward pass: rematerializing by default, stash-driven with zs.
 
     Args: primals (x (B,N,D) f32, params), the cotangent g (B,N,C) f32
@@ -266,6 +362,10 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
     stored pre-LN activations from `_chain_forward_stash_pallas`.  With
     zs the per-tile recompute needs NO matmuls (LN stats + ReLU only),
     cutting the kernel's MXU work from 3x to 2x the forward.
+    With kv_pool > 1, `dpool` (B, N/p, C) is the pooled-KV cotangent and
+    `kv_idx` the forward's saved argmax; the kernel scatters dpool onto
+    its argmax rows in VMEM and folds it into g before the stage
+    backward (no HBM-side (B, N, C) scatter pass).
     Returns (dx, dstage_params, dfinal_w, dfinal_b) — f32, matching the
     primal pytree structure.
     """
@@ -285,11 +385,19 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
             z_specs.append(pl.BlockSpec(
                 (1, tile, h), lambda bi, ti: (bi, ti, 0),
                 memory_space=pltpu.VMEM))
+    kv_inputs = ()
+    kv_specs = []
+    if kv_pool:
+        tp = tile // kv_pool
+        kv_inputs = (dpool, kv_idx)
+        kv_specs = [pl.BlockSpec((1, tp, c), lambda bi, ti: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM)] * 2
     in_specs = [
         pl.BlockSpec((1, tile, d), lambda bi, ti: (bi, ti, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
                      memory_space=pltpu.VMEM),
+        *kv_specs,
         *z_specs,
         *param_specs,
     ]
@@ -310,12 +418,14 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
     out_specs.append(_const_spec((1,) + final_b.shape))
 
     n_z = len(z_inputs)
+    n_kv = len(kv_inputs)
 
     def kernel(*refs):
         x_ref = refs[0]
         g_ref = refs[1]
-        z_refs = refs[2: 2 + n_z]
-        p0 = 2 + n_z
+        kv_refs = refs[2: 2 + n_kv]
+        z_refs = refs[2 + n_kv: 2 + n_kv + n_z]
+        p0 = 2 + n_kv + n_z
         stage_refs = [refs[p0 + 4 * i: p0 + 4 * (i + 1)]
                       for i in range(n_stages)]
         fw_ref = refs[p0 + 4 * n_stages]
@@ -340,6 +450,10 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
             hs, xhats, rstds = _recompute_stages(x_ref[0], stage_refs, cdt)
 
         gout = g_ref[0]                                    # (T, C) f32
+        if n_kv:
+            dpool_ref, idx_ref = kv_refs
+            gout = gout + _kv_pool_tile_bwd(
+                x_ref[0], dpool_ref[0], idx_ref[0], kv_pool)
         dfb_ref[0] += jnp.sum(gout, axis=0)
         g_cdt = gout.astype(cdt)
         # dfw += h_last^T @ g;  dh = g @ fw^T
@@ -400,10 +514,11 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
             flops=(2 if n_z else 3) * b * n * stage_flops,
             bytes_accessed=(x.size + g.size + x.size) * 4
             + sum(z.size * z.dtype.itemsize for z in z_inputs)
+            + sum(k.size * k.dtype.itemsize for k in kv_inputs)
             + 2 * sum(p.size * p.dtype.itemsize for p in flat_params),
             transcendentals=0,
         ),
-    )(x, g, *z_inputs, *flat_params)
+    )(x, g, *kv_inputs, *z_inputs, *flat_params)
 
     dx = outs[0]
     dstages = []
@@ -421,7 +536,8 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
 def make_differentiable_chain(tile: int = 512,
                               compute_dtype=jnp.bfloat16,
                               interpret: bool = None,
-                              backward: str = "remat"):
+                              backward: str = "remat",
+                              kv_pool: int = 0):
     """Build the custom-VJP fused point chain for the given statics.
 
     Returned callable: chain(x, stage_params, final_w, final_b) ->
@@ -436,6 +552,14 @@ def make_differentiable_chain(tile: int = 512,
         ReLU only (2x forward MXU work, ~2x chain HBM activation
         traffic).  Faster when compute-bound; gradients differ from
         remat at compute_dtype precision (z round-trips through cdt).
+
+    kv_pool=p > 1 changes the signature to chain(...) ->
+    (features, pooled_kv (B, N/p, C) f32): the decoder's KV window
+    max-pool (ops.masked_pool.window_max_pool semantics, validity mask
+    recomputed from x in-kernel) is emitted by the forward kernel and
+    its cotangent scattered in the backward kernel — both in VMEM, so
+    the pooling costs no extra (B, N, C) HBM passes.  Tie rule is
+    lowest-index (same as window_max_pool's custom VJP).
     """
     assert backward in ("remat", "stash"), backward
     cdt = jnp.dtype(compute_dtype).type
@@ -443,28 +567,62 @@ def make_differentiable_chain(tile: int = 512,
     def _resolve_interpret():
         return (not _on_tpu()) if interpret is None else interpret
 
-    @jax.custom_vjp
-    def chain(x, stage_params, final_w, final_b):
-        return _chain_forward_pallas(
-            x, stage_params, final_w, final_b,
-            tile=tile, cdt=cdt, interpret=_resolve_interpret())
-
-    def chain_fwd(x, stage_params, final_w, final_b):
-        if backward == "stash":
-            out, zs = _chain_forward_stash_pallas(
+    if not kv_pool:
+        @jax.custom_vjp
+        def chain(x, stage_params, final_w, final_b):
+            return _chain_forward_pallas(
                 x, stage_params, final_w, final_b,
                 tile=tile, cdt=cdt, interpret=_resolve_interpret())
-            return out, (x, stage_params, final_w, final_b, zs)
-        out = _chain_forward_pallas(
-            x, stage_params, final_w, final_b,
-            tile=tile, cdt=cdt, interpret=_resolve_interpret())
-        return out, (x, stage_params, final_w, final_b, None)
 
-    def chain_bwd(residuals, g):
-        x, stage_params, final_w, final_b, zs = residuals
+        def chain_fwd(x, stage_params, final_w, final_b):
+            if backward == "stash":
+                out, zs = _chain_forward_stash_pallas(
+                    x, stage_params, final_w, final_b,
+                    tile=tile, cdt=cdt, interpret=_resolve_interpret())
+                return out, (x, stage_params, final_w, final_b, zs)
+            out = _chain_forward_pallas(
+                x, stage_params, final_w, final_b,
+                tile=tile, cdt=cdt, interpret=_resolve_interpret())
+            return out, (x, stage_params, final_w, final_b, None)
+
+        def chain_bwd(residuals, g):
+            x, stage_params, final_w, final_b, zs = residuals
+            return _chain_backward_pallas(
+                x, stage_params, final_w, final_b, g,
+                tile=tile, cdt=cdt, interpret=_resolve_interpret(), zs=zs)
+
+        chain.defvjp(chain_fwd, chain_bwd)
+        return chain
+
+    @jax.custom_vjp
+    def chain_kv(x, stage_params, final_w, final_b):
+        out, pooled, _idx = _chain_forward_pallas(
+            x, stage_params, final_w, final_b,
+            tile=tile, cdt=cdt, interpret=_resolve_interpret(),
+            kv_pool=kv_pool)
+        return out, pooled
+
+    def chain_kv_fwd(x, stage_params, final_w, final_b):
+        if backward == "stash":
+            out, zs, pooled, idx = _chain_forward_stash_pallas(
+                x, stage_params, final_w, final_b,
+                tile=tile, cdt=cdt, interpret=_resolve_interpret(),
+                kv_pool=kv_pool)
+        else:
+            out, pooled, idx = _chain_forward_pallas(
+                x, stage_params, final_w, final_b,
+                tile=tile, cdt=cdt, interpret=_resolve_interpret(),
+                kv_pool=kv_pool)
+            zs = None
+        return (out, pooled), (x, stage_params, final_w, final_b, zs, idx)
+
+    def chain_kv_bwd(residuals, gs):
+        x, stage_params, final_w, final_b, zs, idx = residuals
+        g, dpool = gs
         return _chain_backward_pallas(
             x, stage_params, final_w, final_b, g,
-            tile=tile, cdt=cdt, interpret=_resolve_interpret(), zs=zs)
+            tile=tile, cdt=cdt, interpret=_resolve_interpret(), zs=zs,
+            kv_pool=kv_pool, dpool=dpool, kv_idx=idx)
 
-    chain.defvjp(chain_fwd, chain_bwd)
-    return chain
+    chain_kv.defvjp(chain_kv_fwd, chain_kv_bwd)
+    return chain_kv
