@@ -317,6 +317,10 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # The stash outputs push scoped VMEM slightly past the 16 MB
+            # default at B=128 (ROADMAP #20: over by 204 KB); the kernel
+            # is legitimate at 32 MB (v5e VMEM is 128 MB/core).
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * n * stage_flops,
