@@ -101,3 +101,63 @@ def test_encoder_module_pallas_flag_same_params(rng):
         np.testing.assert_allclose(np.asarray(pooled_ref[k]),
                                    np.asarray(pooled_pls[k]),
                                    rtol=2e-2, atol=2e-3)
+
+
+def test_fused_kv_pool_output(rng):
+    """kv_pool>1: the kernel-emitted pooled KV must equal
+    window_max_pool over the reference features (incl. a fully-invalid
+    window pooling to 0), without the full point-features output."""
+    from wireframe_tpu.ops.masked_pool import window_max_pool
+
+    b, n, d, c, p = 2, 128, 8, 64, 4
+    sp, fw, fb = make_params(rng, d, [32, 64], c)
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    x[0, 96:] = 0.0       # padding tail
+    x[1, 8:12] = 0.0      # fully-invalid window mid-cloud
+    xj = jnp.asarray(x)
+
+    out = fused_point_encoder(xj, sp, fw, fb, tile=32, kv_pool=p)
+    assert "point_features" not in out
+    feats = point_encoder_reference(xj, sp, fw, fb)
+    ref_kv, ref_wm = window_max_pool(feats, point_validity_mask(xj), p)
+    np.testing.assert_allclose(np.asarray(out["kv_features"]),
+                               np.asarray(ref_kv), rtol=2e-2, atol=2e-3)
+    assert not np.asarray(ref_wm)[1, 2]
+    assert np.abs(np.asarray(out["kv_features"])[1, 2]).max() == 0.0
+
+
+def test_encoder_module_inference_kv_matches_xla(rng):
+    """PointNetEncoder with kv_pool + point_features_for_kv: the fused
+    inference path must produce the same pooled KV / mask the XLA path's
+    consumer would compute, and skip materializing point features."""
+    import jax
+
+    from wireframe_tpu.models.encoder import PointNetEncoder
+    from wireframe_tpu.ops.masked_pool import window_max_pool
+
+    b, n, d, p = 2, 128, 8, 4
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    x[0, 96:] = 0.0
+    xj = jnp.asarray(x)
+
+    def build(use_pallas):
+        return PointNetEncoder(
+            input_dim=d, hidden_dims=(32, 64), output_dim=64,
+            dtype=jnp.float32, use_pallas=use_pallas, pallas_tile=32,
+            kv_pool=p, point_features_for_kv=True)
+
+    enc = build(True)
+    params = enc.init(jax.random.PRNGKey(0), xj)
+    g_p, pooled_p, pf_p = enc.apply(params, xj)
+    g_x, pooled_x, pf_x = build(False).apply(params, xj)
+
+    assert pf_p is None          # fused path skipped the HBM write
+    assert pf_x is not None      # XLA path must hand features to the pool
+    ref_kv, ref_wm = window_max_pool(
+        jnp.asarray(pf_x), jnp.abs(jnp.sum(xj, -1)) > 1e-9, p)
+    np.testing.assert_allclose(np.asarray(pooled_p["kv"]),
+                               np.asarray(ref_kv), rtol=2e-2, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(pooled_p["kv_mask"]),
+                                  np.asarray(ref_wm))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=2e-2, atol=2e-3)

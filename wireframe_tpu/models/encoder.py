@@ -88,12 +88,16 @@ class PointNetEncoder(nn.Module):
     # backward kernel) or "stash" (forward stores pre-LN activations,
     # backward skips the recompute matmuls) — ops/pallas_chain_grad.py.
     chain_backward: str = "remat"
-    # kv_pool=p > 1 on the differentiable-chain path additionally emits
-    # the decoder's KV window max-pool from inside the kernel
-    # (pooled["kv"] (B, N/p, C) + pooled["kv_mask"] (B, N/p)) — saves
-    # the XLA pool's (B, N, C) HBM relayout passes.  Callers must feed
-    # z-sorted points for the windows to be spatially coherent.
+    # kv_pool=p > 1 on the pallas paths additionally emits the decoder's
+    # KV window max-pool from inside the kernel (pooled["kv"]
+    # (B, N/p, C) + pooled["kv_mask"] (B, N/p)) — saves the XLA pool's
+    # (B, N, C) HBM relayout passes.  Callers must feed z-sorted points
+    # for the windows to be spatially coherent.
     kv_pool: int = 0
+    # The caller needs point features ONLY as the decoder-KV source: if
+    # the kernel emits pooled KV itself, skip materializing them (on the
+    # fused inference kernel that skips the whole (B, N, C) HBM write).
+    point_features_for_kv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -152,15 +156,28 @@ class PointNetEncoder(nn.Module):
                 pooled["kv"] = pooled_kv
                 pooled["kv_mask"] = jnp.any(
                     mask.reshape(b_, n_ // kv_pool, kv_pool), axis=-1)
-            if self.return_point_features:
+            if self.return_point_features or (self.point_features_for_kv
+                                              and not kv_pool):
                 point_features = feats
         elif use_pallas:
+            kv_pool = self.kv_pool if (
+                self.kv_pool > 1 and tile % self.kv_pool == 0
+                and (tile // self.kv_pool) % 8 == 0) else 0
+            need_pf = self.return_point_features or (
+                self.point_features_for_kv and not kv_pool)
             pooled = fused_point_encoder(
                 x.astype(jnp.float32), stage_params, final_w, final_b,
                 tile=tile,
-                return_point_features=self.return_point_features,
-                compute_dtype=self.dtype)
+                return_point_features=need_pf,
+                compute_dtype=self.dtype,
+                kv_pool=kv_pool)
             point_features = pooled.pop("point_features", None)
+            if kv_pool:
+                mask = point_validity_mask(x)
+                b_, n_ = mask.shape
+                pooled["kv"] = pooled.pop("kv_features")
+                pooled["kv_mask"] = jnp.any(
+                    mask.reshape(b_, n_ // kv_pool, kv_pool), axis=-1)
         else:
             # Validity mask from the RAW input (PointNetEncoder.py:85):
             # an all-zero row — padding by convention — is invalid.
@@ -176,7 +193,7 @@ class PointNetEncoder(nn.Module):
                 "mean": jnp.mean(feats, axis=-2),
                 "max": jnp.max(feats, axis=-2),
             }
-            if self.return_point_features:
+            if self.return_point_features or self.point_features_for_kv:
                 point_features = feats
 
         combined = jnp.concatenate(

@@ -68,10 +68,11 @@ class PointCloudToWireframe(nn.Module):
             hidden_dims=tuple(cfg.encoder_hidden_dims),
             output_dim=cfg.encoder_output_dim,
             dtype=dt,
-            # The query head cross-attends to per-point features, so they
-            # must be materialized regardless of the HBM-saving default.
-            return_point_features=(cfg.return_point_features
-                                   or use_query_head),
+            return_point_features=cfg.return_point_features,
+            # The query head cross-attends to per-point features — but
+            # when the kernel emits pooled KV itself, the full (B, N, C)
+            # tensor need not be materialized at all.
+            point_features_for_kv=use_query_head,
             # Inference takes the fully fused kernel (pools in-kernel);
             # training takes the custom-VJP chain kernel whose backward
             # rematerializes activations in VMEM (VERDICT r1 #4).

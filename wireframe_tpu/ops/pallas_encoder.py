@@ -74,7 +74,8 @@ def fused_point_encoder(x: jnp.ndarray,
                         *, tile: int = 256,
                         return_point_features: bool = False,
                         interpret: bool = None,
-                        compute_dtype=jnp.bfloat16):
+                        compute_dtype=jnp.bfloat16,
+                        kv_pool: int = 0):
     """Run the fused kernel.
 
     Args:
@@ -84,13 +85,23 @@ def fused_point_encoder(x: jnp.ndarray,
       stage_params: [(w (I,H), b (H,), ln_scale (H,), ln_bias (H,)), ...]
       final_w: (H, C); final_b: (C,).
       tile: points per grid step; N must be divisible by it.
+      kv_pool: p > 1 additionally emits `kv_features` (B, N/p, C) — the
+        masked window max-pool over p consecutive rows
+        (ops.masked_pool.window_max_pool semantics) straight from VMEM,
+        so a decoder consuming only pooled KV never needs the full
+        (B, N, C) features written to HBM.
     Returns dict of pooled stats (each (B, C) f32): masked_mean,
-      masked_max, mean, max; plus point_features (B, N, C) if requested.
+      masked_max, mean, max; plus point_features (B, N, C) and/or
+      kv_features if requested.
     """
     b, n, d = x.shape
     c = final_w.shape[-1]
     n_stages = len(stage_params)
     assert n % tile == 0, f"N={n} not divisible by tile={tile}"
+    if kv_pool:
+        assert tile % kv_pool == 0 and (
+            (tile // kv_pool) % 8 == 0 or tile // kv_pool == n // kv_pool
+        ), (tile, kv_pool)
     grid = (b, n // tile)
     if interpret is None:
         interpret = not _on_tpu()  # CPU tests run the interpreter
@@ -133,6 +144,13 @@ def fused_point_encoder(x: jnp.ndarray,
         out_specs.append(
             pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM))
+    if kv_pool:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, n // kv_pool, c), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, tile // kv_pool, c),
+                         lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM))
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -142,6 +160,7 @@ def fused_point_encoder(x: jnp.ndarray,
         fb_ref = refs[2 + 4 * n_stages]
         pools_ref = refs[3 + 4 * n_stages]
         feats_ref = refs[4 + 4 * n_stages] if return_point_features else None
+        kv_ref = refs[-1] if kv_pool else None
 
         t = pl.program_id(1)
 
@@ -160,6 +179,14 @@ def fused_point_encoder(x: jnp.ndarray,
 
         if feats_ref is not None:
             feats_ref[0] = feats
+
+        if kv_ref is not None:
+            fr = jnp.where(mask[:, None], feats, _NEG_INF).reshape(
+                tile // kv_pool, kv_pool, feats.shape[-1])
+            pm = jnp.max(fr, axis=1)
+            # _NEG_INF is a finite sentinel: empty windows pool to 0 via
+            # the same half-sentinel guard the global masked max uses.
+            kv_ref[0] = jnp.where(pm > _NEG_INF / 2, pm, 0.0)
 
         cdim = feats.shape[-1]
         count_row = jnp.full((cdim,), jnp.sum(mask_f), jnp.float32)
@@ -217,4 +244,6 @@ def fused_point_encoder(x: jnp.ndarray,
     }
     if return_point_features:
         result["point_features"] = outs[1]
+    if kv_pool:
+        result["kv_features"] = outs[-1]
     return result
