@@ -295,27 +295,35 @@ def test_chain_kv_pool_matches_xla(rng, backward):
 
     chain = make_differentiable_chain(tile=32, compute_dtype=jnp.float32,
                                       backward=backward, kv_pool=p)
-    feats, pooled = chain(xj, sp, fw, fb)
+    feats, pooled, sums = chain(xj, sp, fw, fb)
     ref_feats = point_encoder_reference(xj, sp, fw, fb,
                                         compute_dtype=jnp.float32)
     ref_pooled, ref_wm = window_max_pool(ref_feats, mask, p)
+    ref_sums = jnp.sum(
+        jnp.where(mask[..., None], ref_feats, 0.0).reshape(b, n // p, p, c),
+        axis=2)
     np.testing.assert_allclose(np.asarray(feats), np.asarray(ref_feats),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pooled),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums),
                                rtol=1e-5, atol=1e-5)
     # fully-invalid window pooled to 0
     assert not np.asarray(ref_wm)[1, 2]
     assert np.abs(np.asarray(pooled)[1, 2]).max() == 0.0
 
     def loss_kv(x, sp, fw, fb):
-        f, pl_ = chain(x, sp, fw, fb)
-        return jnp.sum(f * 0.01) + jnp.sum(pl_ ** 2)
+        f, pl_, sm = chain(x, sp, fw, fb)
+        return jnp.sum(f * 0.01) + jnp.sum(pl_ ** 2) + jnp.sum(sm * 0.3)
 
     def loss_ref(x, sp, fw, fb):
         f = point_encoder_reference(x, sp, fw, fb,
                                     compute_dtype=jnp.float32)
         pl_, _ = window_max_pool(f, mask, p)
-        return jnp.sum(f * 0.01) + jnp.sum(pl_ ** 2)
+        sm = jnp.sum(
+            jnp.where(mask[..., None], f, 0.0).reshape(b, n // p, p, c),
+            axis=2)
+        return jnp.sum(f * 0.01) + jnp.sum(pl_ ** 2) + jnp.sum(sm * 0.3)
 
     g1 = jax.grad(loss_kv, argnums=(0, 1, 2, 3))(xj, sp, fw, fb)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xj, sp, fw, fb)

@@ -298,3 +298,51 @@ def test_edge_dist_gradient_finite_on_coincident_vertices():
 
     g = jax.grad(loss)(jnp.asarray(verts))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_host_z_sort_matches_device_sort(rng):
+    """DataConfig.z_sort_points: feeding host-z-sorted points with
+    model.points_z_sorted=True must equal the in-graph sort path on the
+    same unsorted cloud (the model is permutation-invariant everywhere
+    except the KV windows, which see identical rows either way)."""
+    import jax
+
+    from wireframe_tpu.config import Config
+
+    def build(points_z_sorted):
+        cfg = Config()
+        cfg.data.num_points = 64
+        cfg.data.max_vertices = 8
+        cfg.model.vertex_head = "query"
+        cfg.model.decoder_kv_pool = 4
+        cfg.model.decoder_dim = 64
+        cfg.model.decoder_layers = 2
+        cfg.model.decoder_ffn_dim = 128
+        cfg.model.use_pallas_encoder = False
+        cfg.__post_init__()
+        cfg.model.points_z_sorted = points_z_sorted
+        return PointCloudToWireframe(cfg.model), cfg
+
+    b, n, d = 2, 64, 8
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    x[0, 56:] = 0.0  # padding rows must stay last under both sorts
+    x_sorted = x.copy()
+    for i in range(b):
+        zkey = np.where(np.abs(x[i].sum(-1)) > 1e-9, x[i][:, 2], np.inf)
+        x_sorted[i] = x[i][np.argsort(zkey, kind="stable")]
+
+    model_dev, _ = build(False)
+    params = model_dev.init({"params": jax.random.PRNGKey(0)},
+                            jnp.asarray(x), None, train=False)["params"]
+    out_dev = model_dev.apply({"params": params}, jnp.asarray(x), None,
+                              train=False)
+    model_host, _ = build(True)
+    out_host = model_host.apply({"params": params}, jnp.asarray(x_sorted),
+                                None, train=False)
+
+    np.testing.assert_allclose(np.asarray(out_dev["vertices"]),
+                               np.asarray(out_host["vertices"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_dev["edge_probs"]),
+                               np.asarray(out_host["edge_probs"]),
+                               rtol=1e-5, atol=1e-5)

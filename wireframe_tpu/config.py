@@ -36,6 +36,16 @@ class DataConfig:
     # always uses num_points.  Bounds recompilation to len(buckets) programs.
     point_buckets: Tuple[int, ...] = (2048, 4096, 8192, 16384)
     seed: int = 0
+    # Sort each cloud's rows by z on the host (stable, after
+    # sampling/augment).  The decoder's KV window pool needs z-coherent
+    # windows; sorting here instead of in-graph saves the per-step
+    # (B, N) sort + (B, N, 8) row gather (~1.3 ms at the B=64 recipe).
+    # Every device augmentation preserves z-order (z-rotation, x/y
+    # flips, positive scale) except the tiny jitter noise, whose window
+    # scrambling is spatially negligible.  Off by default: the reference
+    # pipeline does not reorder points, and file-level parity tests
+    # compare against it row-for-row.
+    z_sort_points: bool = False
 
     @property
     def input_dim(self) -> int:
@@ -88,6 +98,9 @@ class ModelConfig:
     # space (PointNet features are max-pool-compatible by construction);
     # windows with no valid point are masked out of the attention.
     decoder_kv_pool: int = 1
+    # Derived from data.z_sort_points (__post_init__): the loader already
+    # z-sorted the rows, so the model skips its in-graph sort + gather.
+    points_z_sorted: bool = False
     # Feed the decoder's per-slot features to the edge head alongside the
     # coordinates (query head only; the reference edge head sees coords
     # only, models/EdgePredictor.py:31-38).
@@ -221,6 +234,7 @@ class Config:
         # Keep the two places max_vertices / input_dim live in sync.
         self.model.max_vertices = self.data.max_vertices
         self.model.input_dim = self.data.input_dim
+        self.model.points_z_sorted = self.data.z_sort_points
 
 
 def _apply_overrides(obj: Any, flat: dict) -> None:

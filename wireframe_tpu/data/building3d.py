@@ -136,6 +136,15 @@ class Building3DDataset:
             point_cloud[:, 0:3] = point_cloud[:, 0:3] @ rot.T
             wf_vertices[:, 0:3] = wf_vertices[:, 0:3] @ rot.T
 
+        if cfg.z_sort_points:
+            # Stable ascending z-sort so the model's KV window pool sees
+            # spatially coherent windows without an in-graph sort+gather
+            # (DataConfig.z_sort_points).  Matches the model's device
+            # sort: jnp.argsort on z with invalid rows keyed to +inf
+            # (none exist here — sampling emits exactly num_points rows).
+            point_cloud = point_cloud[
+                np.argsort(point_cloud[:, 2], kind="stable")]
+
         wf_edges_vertices = edge_endpoint_array(wf_vertices, wf_edges)
         wf_centers = (wf_edges_vertices[:, 0, :] + wf_edges_vertices[:, 1, :]) / 2 \
             if len(wf_edges) else np.empty((0, 3))

@@ -138,24 +138,41 @@ class PointNetEncoder(nn.Module):
                 tile=tile, compute_dtype=self.dtype,
                 backward=self.chain_backward, kv_pool=kv_pool)
             xf = x.astype(jnp.float32)
+            mask = point_validity_mask(x)
             if kv_pool:
-                feats, pooled_kv = chain(xf, tuple(stage_params),
-                                         final_w, final_b)
+                feats, pooled_kv, kv_sums = chain(
+                    xf, tuple(stage_params), final_w, final_b)
+                b_, n_ = mask.shape
+                kv_mask = jnp.any(
+                    mask.reshape(b_, n_ // kv_pool, kv_pool), axis=-1)
+                # Global masked pools from the kernel's window outputs
+                # instead of (B, N, C) passes: max of window maxes is the
+                # masked max exactly (same argmax row, so the gradient
+                # scatters to the same place), and the window sums total
+                # to the masked sum.
+                count = jnp.maximum(
+                    jnp.sum(mask.astype(jnp.float32), axis=-1), 1.0)
+                pooled = {
+                    "masked_max": masked_max(pooled_kv, kv_mask),
+                    "masked_mean": (jnp.sum(kv_sums, axis=-2)
+                                    / count[:, None]),
+                    # Unmasked pools: only the legacy MLP vertex head
+                    # consumes these (never with kv_pool); XLA removes
+                    # them when unused.
+                    "mean": jnp.mean(feats, axis=-2),
+                    "max": jnp.max(feats, axis=-2),
+                    "kv": pooled_kv,
+                    "kv_mask": kv_mask,
+                }
             else:
                 feats = chain(xf, tuple(stage_params),
                               final_w, final_b)            # (B, N, C) f32
-            mask = point_validity_mask(x)
-            pooled = {
-                "masked_max": masked_max(feats, mask),
-                "masked_mean": masked_mean(feats, mask),
-                "mean": jnp.mean(feats, axis=-2),
-                "max": jnp.max(feats, axis=-2),
-            }
-            if kv_pool:
-                b_, n_ = mask.shape
-                pooled["kv"] = pooled_kv
-                pooled["kv_mask"] = jnp.any(
-                    mask.reshape(b_, n_ // kv_pool, kv_pool), axis=-1)
+                pooled = {
+                    "masked_max": masked_max(feats, mask),
+                    "masked_mean": masked_mean(feats, mask),
+                    "mean": jnp.mean(feats, axis=-2),
+                    "max": jnp.max(feats, axis=-2),
+                }
             if self.return_point_features or (self.point_features_for_kv
                                               and not kv_pool):
                 point_features = feats

@@ -44,7 +44,8 @@ class PointCloudToWireframe(nn.Module):
         dt = _dtype(cfg.compute_dtype)
         use_query_head = cfg.vertex_head == "query"
 
-        if use_query_head and cfg.decoder_kv_pool > 1:
+        if (use_query_head and cfg.decoder_kv_pool > 1
+                and not cfg.points_z_sorted):
             # KV pooling maxes over windows of CONSECUTIVE rows, but the
             # sampler shuffles point order — unsorted windows would mix
             # arbitrary far-apart points and scramble the positional

@@ -99,12 +99,15 @@ def _recompute_stages(x_tile, stage_refs, cdt, eps=1e-6):
 
 
 def _kv_pool_tile_fwd(x_tile, out, p):
-    """In-kernel masked window max-pool of one tile's features.
+    """In-kernel masked window max/sum pools of one tile's features.
 
     x_tile: (T, D) raw input rows (for the validity mask), out: (T, C)
-    f32 features.  Returns (pooled (T/p, C) f32, idx (T/p, C) int32) with
-    `ops.masked_pool.window_max_pool` semantics: invalid rows contribute
-    -inf, fully-invalid windows pool to 0, ties go to the lowest offset.
+    f32 features.  Returns (pooled (T/p, C) f32, idx (T/p, C) i32,
+    sums (T/p, C) f32): pooled/idx follow
+    `ops.masked_pool.window_max_pool` semantics (invalid rows contribute
+    -inf, fully-invalid windows pool to 0, ties to the lowest offset);
+    sums are the masked window sums, whose total over windows is the
+    global masked sum (→ masked_mean without another (B, N, C) pass).
     """
     t, c = out.shape
     valid = jnp.abs(jnp.sum(x_tile, axis=-1)) > 1e-9        # (T,)
@@ -113,15 +116,19 @@ def _kv_pool_tile_fwd(x_tile, out, p):
     pm = jnp.max(fr, axis=1)
     idx = jnp.argmax(fr, axis=1).astype(jnp.int32)
     pooled = jnp.where(jnp.isfinite(pm), pm, 0.0)
-    return pooled, idx
+    zr = jnp.where(valid[:, None], out, 0.0).reshape(t // p, p, c)
+    sums = jnp.sum(zr, axis=1)
+    return pooled, idx, sums
 
 
-def _kv_pool_tile_bwd(x_tile, dpool, idx, p):
-    """Scatter one tile's pooled-KV cotangent back onto its rows.
+def _kv_pool_tile_bwd(x_tile, dpool, idx, dsums, p):
+    """Scatter one tile's pooled-KV + window-sum cotangents onto rows.
 
     Inverse of `_kv_pool_tile_fwd`: rows of fully-invalid windows get 0
-    (their pooled output was the constant 0), otherwise the window's
-    cotangent lands on its argmax row.  Returns (T, C) f32.
+    from the max path (their pooled output was the constant 0),
+    otherwise the window's max cotangent lands on its argmax row; the
+    sum cotangent broadcasts to every VALID row of its window.  Returns
+    (T, C) f32.
     """
     tp, c = dpool.shape
     valid = jnp.abs(jnp.sum(x_tile, axis=-1)) > 1e-9        # (T,)
@@ -129,22 +136,23 @@ def _kv_pool_tile_bwd(x_tile, dpool, idx, p):
     dp = jnp.where(win_valid[:, None], dpool, 0.0)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, p, c), 1)
     scat = jnp.where(k_iota == idx[:, None, :], dp[:, None, :], 0.0)
+    scat = scat + jnp.where(valid.reshape(tp, p)[..., None],
+                            dsums[:, None, :], 0.0)
     return scat.reshape(tp * p, c)
 
 
 def _kv_out_extras(b, n, c, tile, kv_pool):
-    """(out_shape, out_specs) for the pooled-KV forward outputs."""
+    """(out_shape, out_specs) for the pooled/idx/sums forward outputs."""
     np_ = n // kv_pool
     tp = tile // kv_pool
     assert tp % 8 == 0 or tp == np_, (
         f"pooled tile {tp} violates Mosaic's sublane rule "
         f"(tile={tile}, kv_pool={kv_pool})")
     shapes = [jax.ShapeDtypeStruct((b, np_, c), jnp.float32),
-              jax.ShapeDtypeStruct((b, np_, c), jnp.int32)]
+              jax.ShapeDtypeStruct((b, np_, c), jnp.int32),
+              jax.ShapeDtypeStruct((b, np_, c), jnp.float32)]
     specs = [pl.BlockSpec((1, tp, c), lambda bi, ti: (bi, ti, 0),
-                          memory_space=pltpu.VMEM),
-             pl.BlockSpec((1, tp, c), lambda bi, ti: (bi, ti, 0),
-                          memory_space=pltpu.VMEM)]
+                          memory_space=pltpu.VMEM)] * 3
     return shapes, specs
 
 
@@ -154,10 +162,11 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
 
     With kv_pool=p > 1 the kernel also emits the masked window max-pool
     of the features over groups of p consecutive rows — the decoder's KV
-    tokens — plus the window argmax for the backward scatter, straight
-    from VMEM (the XLA formulation costs ~2.5 ms/step of HBM relayout
-    traffic at the B=64 recipe).  Returns feats or
-    (feats, pooled (B, N/p, C), idx (B, N/p, C) int32).
+    tokens — plus the window argmax for the backward scatter and the
+    masked window sums (whose per-cloud total is the global masked sum),
+    straight from VMEM (the XLA formulations cost several (B, N, C) HBM
+    relayout passes at the B=64 recipe).  Returns feats or
+    (feats, pooled (B, N/p, C), idx (B, N/p, C) i32, sums (B, N/p, C)).
     """
     b, n, d = x.shape
     c = final_w.shape[-1]
@@ -192,10 +201,11 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
                       preferred_element_type=jnp.float32) + fb_ref[0]
         out_ref[0] = out
         if kv_pool:
-            pool_ref, idx_ref = refs[4 + 4 * n_stages:]
-            pooled, idx = _kv_pool_tile_fwd(x_ref[0], out, kv_pool)
+            pool_ref, idx_ref, sum_ref = refs[4 + 4 * n_stages:]
+            pooled, idx, sums = _kv_pool_tile_fwd(x_ref[0], out, kv_pool)
             pool_ref[0] = pooled
             idx_ref[0] = idx
+            sum_ref[0] = sums
 
     stage_flops = sum(2 * w.shape[0] * w.shape[1]
                       for (w, *_r) in stage_params)
@@ -245,7 +255,8 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
     the chain is compute-bound, which it is at the production widths).
 
     Returns (features (B, N, C) f32, tuple of z_k (B, N, H_k) cdt);
-    with kv_pool > 1 also (pooled, idx) — see `_chain_forward_pallas`.
+    with kv_pool > 1 also (pooled, idx, sums) — see
+    `_chain_forward_pallas`.
     """
     b, n, d = x.shape
     c = final_w.shape[-1]
@@ -298,10 +309,11 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
                       preferred_element_type=jnp.float32) + fb_ref[0]
         out_ref[0] = out
         if kv_pool:
-            pool_ref, idx_ref = refs[4 + 5 * n_stages:]
-            pooled, idx = _kv_pool_tile_fwd(x_ref[0], out, kv_pool)
+            pool_ref, idx_ref, sum_ref = refs[4 + 5 * n_stages:]
+            pooled, idx, sums = _kv_pool_tile_fwd(x_ref[0], out, kv_pool)
             pool_ref[0] = pooled
             idx_ref[0] = idx
+            sum_ref[0] = sums
 
     stage_flops = sum(2 * w.shape[0] * w.shape[1]
                       for (w, *_r) in stage_params)
@@ -330,7 +342,8 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
         ),
     )(x, *flat_params)
     if kv_pool:
-        return outs[0], tuple(outs[1:1 + n_stages]), outs[-2], outs[-1]
+        return (outs[0], tuple(outs[1:1 + n_stages]),
+                outs[-3], outs[-2], outs[-1])
     return outs[0], tuple(outs[1:])
 
 
@@ -358,7 +371,8 @@ def _stages_from_z(x_tile, z_list, stage_refs, cdt, eps=1e-6):
 
 def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
                            *, tile, cdt, interpret, zs=None,
-                           kv_pool=0, dpool=None, kv_idx=None):
+                           kv_pool=0, dpool=None, kv_idx=None,
+                           dsums=None):
     """Backward pass: rematerializing by default, stash-driven with zs.
 
     Args: primals (x (B,N,D) f32, params), the cotangent g (B,N,C) f32
@@ -366,10 +380,11 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
     stored pre-LN activations from `_chain_forward_stash_pallas`.  With
     zs the per-tile recompute needs NO matmuls (LN stats + ReLU only),
     cutting the kernel's MXU work from 3x to 2x the forward.
-    With kv_pool > 1, `dpool` (B, N/p, C) is the pooled-KV cotangent and
-    `kv_idx` the forward's saved argmax; the kernel scatters dpool onto
-    its argmax rows in VMEM and folds it into g before the stage
-    backward (no HBM-side (B, N, C) scatter pass).
+    With kv_pool > 1, `dpool` (B, N/p, C) is the pooled-KV cotangent,
+    `kv_idx` the forward's saved argmax, and `dsums` the window-sum
+    cotangent; the kernel scatters dpool onto its argmax rows and
+    broadcasts dsums onto valid rows in VMEM, folding both into g before
+    the stage backward (no HBM-side (B, N, C) scatter passes).
     Returns (dx, dstage_params, dfinal_w, dfinal_b) — f32, matching the
     primal pytree structure.
     """
@@ -393,9 +408,9 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
     kv_specs = []
     if kv_pool:
         tp = tile // kv_pool
-        kv_inputs = (dpool, kv_idx)
+        kv_inputs = (dpool, kv_idx, dsums)
         kv_specs = [pl.BlockSpec((1, tp, c), lambda bi, ti: (bi, ti, 0),
-                                 memory_space=pltpu.VMEM)] * 2
+                                 memory_space=pltpu.VMEM)] * 3
     in_specs = [
         pl.BlockSpec((1, tile, d), lambda bi, ti: (bi, ti, 0),
                      memory_space=pltpu.VMEM),
@@ -455,9 +470,10 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
 
         gout = g_ref[0]                                    # (T, C) f32
         if n_kv:
-            dpool_ref, idx_ref = kv_refs
+            dpool_ref, idx_ref, dsums_ref = kv_refs
             gout = gout + _kv_pool_tile_bwd(
-                x_ref[0], dpool_ref[0], idx_ref[0], kv_pool)
+                x_ref[0], dpool_ref[0], idx_ref[0], dsums_ref[0],
+                kv_pool)
         dfb_ref[0] += jnp.sum(gout, axis=0)
         g_cdt = gout.astype(cdt)
         # dfw += h_last^T @ g;  dh = g @ fw^T
@@ -558,12 +574,14 @@ def make_differentiable_chain(tile: int = 512,
         remat at compute_dtype precision (z round-trips through cdt).
 
     kv_pool=p > 1 changes the signature to chain(...) ->
-    (features, pooled_kv (B, N/p, C) f32): the decoder's KV window
-    max-pool (ops.masked_pool.window_max_pool semantics, validity mask
-    recomputed from x in-kernel) is emitted by the forward kernel and
-    its cotangent scattered in the backward kernel — both in VMEM, so
-    the pooling costs no extra (B, N, C) HBM passes.  Tie rule is
-    lowest-index (same as window_max_pool's custom VJP).
+    (features, pooled_kv (B, N/p, C) f32, kv_sums (B, N/p, C) f32): the
+    decoder's KV window max-pool (ops.masked_pool.window_max_pool
+    semantics, validity mask recomputed from x in-kernel) and the masked
+    window SUMS (sum over windows = the global masked sum, so
+    masked_mean needs no (B, N, C) pass either) are emitted by the
+    forward kernel and their cotangents scattered in the backward kernel
+    — all in VMEM, so the pooling costs no extra (B, N, C) HBM passes.
+    Tie rule is lowest-index (same as window_max_pool's custom VJP).
     """
     assert backward in ("remat", "stash"), backward
     cdt = jnp.dtype(compute_dtype).type
@@ -600,33 +618,34 @@ def make_differentiable_chain(tile: int = 512,
 
     @jax.custom_vjp
     def chain_kv(x, stage_params, final_w, final_b):
-        out, pooled, _idx = _chain_forward_pallas(
+        out, pooled, _idx, sums = _chain_forward_pallas(
             x, stage_params, final_w, final_b,
             tile=tile, cdt=cdt, interpret=_resolve_interpret(),
             kv_pool=kv_pool)
-        return out, pooled
+        return out, pooled, sums
 
     def chain_kv_fwd(x, stage_params, final_w, final_b):
         if backward == "stash":
-            out, zs, pooled, idx = _chain_forward_stash_pallas(
+            out, zs, pooled, idx, sums = _chain_forward_stash_pallas(
                 x, stage_params, final_w, final_b,
                 tile=tile, cdt=cdt, interpret=_resolve_interpret(),
                 kv_pool=kv_pool)
         else:
-            out, pooled, idx = _chain_forward_pallas(
+            out, pooled, idx, sums = _chain_forward_pallas(
                 x, stage_params, final_w, final_b,
                 tile=tile, cdt=cdt, interpret=_resolve_interpret(),
                 kv_pool=kv_pool)
             zs = None
-        return (out, pooled), (x, stage_params, final_w, final_b, zs, idx)
+        return ((out, pooled, sums),
+                (x, stage_params, final_w, final_b, zs, idx))
 
     def chain_kv_bwd(residuals, gs):
         x, stage_params, final_w, final_b, zs, idx = residuals
-        g, dpool = gs
+        g, dpool, dsums = gs
         return _chain_backward_pallas(
             x, stage_params, final_w, final_b, g,
             tile=tile, cdt=cdt, interpret=_resolve_interpret(), zs=zs,
-            kv_pool=kv_pool, dpool=dpool, kv_idx=idx)
+            kv_pool=kv_pool, dpool=dpool, kv_idx=idx, dsums=dsums)
 
     chain_kv.defvjp(chain_kv_fwd, chain_kv_bwd)
     return chain_kv
