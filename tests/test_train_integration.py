@@ -155,3 +155,56 @@ def test_full_epoch_loop_runs(corpus):
                          augment_on_host=False)
     state = train_model(cfg, loader)
     assert int(state.step) == 4  # 2 epochs x 2 batches
+
+
+def test_flatten_optimizer_same_trajectory(rng):
+    """train.flatten_optimizer runs the optimizer on one concatenated
+    vector — updates must match the per-leaf chain to fp tolerance."""
+    import jax
+
+    from wireframe_tpu.config import Config
+    from wireframe_tpu.ops.pairs import num_pairs
+    from wireframe_tpu.train.state import create_train_state
+    from wireframe_tpu.train.step import make_train_step
+
+    def build(flatten):
+        cfg = Config()
+        cfg.data.num_points = 64
+        cfg.data.max_vertices = 8
+        cfg.model.use_pallas_encoder = False
+        cfg.train.device_augment = False
+        cfg.train.flatten_optimizer = flatten
+        cfg.__post_init__()
+        return cfg
+
+    cfg = build(False)
+    b, n, d, v = 2, 64, cfg.model.input_dim, cfg.model.max_vertices
+    e = num_pairs(v)
+    counts = np.array([5, 7], np.int32)
+    batch = {
+        "point_clouds": jnp.asarray(
+            rng.normal(size=(b, n, d)).astype(np.float32)),
+        "target_vertices": jnp.asarray(
+            (rng.normal(size=(b, v, 3))
+             * (np.arange(v)[None, :, None] < counts[:, None, None]))
+            .astype(np.float32)),
+        "vertex_existence": jnp.asarray(
+            (np.arange(v)[None, :] < counts[:, None]).astype(np.float32)),
+        "vertex_counts": jnp.asarray(counts),
+        "edge_labels": jnp.asarray(
+            (rng.random((b, e)) < 0.2).astype(np.float32)),
+    }
+
+    def run(cfg, n_steps=3):
+        state = create_train_state(cfg, jax.random.PRNGKey(0), (b, n, d))
+        step = jax.jit(make_train_step(cfg))
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(n_steps):
+            key, k = jax.random.split(key)
+            state, m = step(state, batch, k)
+            losses.append(float(m["total_loss"]))
+        return losses
+
+    np.testing.assert_allclose(run(build(False)), run(build(True)),
+                               rtol=1e-5, atol=1e-6)

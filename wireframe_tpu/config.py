@@ -143,6 +143,12 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     grad_clip_norm: float = 1.0
+    # Run the whole optimizer chain on one concatenated parameter vector
+    # (optax.flatten): identical updates, ~100 fewer small per-leaf XLA
+    # ops per step at the cost of a ravel/unravel copy each step.
+    # Changes the opt_state pytree, so checkpoints don't interchange
+    # across this flag.
+    flatten_optimizer: bool = False
     # Loss weights (train.py:91-93)
     vertex_weight: float = 3.0
     edge_weight: float = 1.0

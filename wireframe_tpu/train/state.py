@@ -66,12 +66,15 @@ def make_optimizer(cfg: Config,
                    steps_per_epoch: int = 1) -> optax.GradientTransformation:
     t = cfg.train
     lr = make_lr_schedule(cfg, steps_per_epoch)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(t.grad_clip_norm),
         optax.add_decayed_weights(t.weight_decay),
         optax.scale_by_adam(b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps),
         optax.scale_by_learning_rate(lr),
     )
+    if t.flatten_optimizer:
+        tx = optax.flatten(tx)
+    return tx
 
 
 def create_train_state(cfg: Config, rng: jax.Array,
