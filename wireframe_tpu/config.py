@@ -275,6 +275,10 @@ def _apply_overrides(obj: Any, flat: dict) -> None:
             raise KeyError(
                 "model.input_dim is derived from data.use_color/"
                 "use_intensity; override those instead")
+        if key == "model.points_z_sorted":
+            raise KeyError(
+                "model.points_z_sorted is derived from "
+                "data.z_sort_points; override that instead")
 
 
 def load_config(yaml_path: Optional[str] = None,

@@ -39,21 +39,35 @@ def pad_or_sample(pc: np.ndarray, bucket: int,
     return out
 
 
+def z_sort_rows(pc: np.ndarray) -> np.ndarray:
+    """Stable ascending z-sort with invalid (all-zero padding) rows kept
+    last — the host-side twin of the model's in-graph sort
+    (DataConfig.z_sort_points).  Must run AFTER any downsampling:
+    `pad_or_sample`'s rng.choice returns indices in random order, so
+    sorting earlier is silently destroyed."""
+    zkey = np.where(np.abs(pc.sum(-1)) > 1e-9, pc[:, 2], np.inf)
+    return pc[np.argsort(zkey, kind="stable")]
+
+
 def group_by_bucket(clouds: Sequence[np.ndarray],
                     buckets: Sequence[int],
-                    rng: np.random.Generator
+                    rng: np.random.Generator,
+                    z_sort: bool = False,
                     ) -> Dict[int, Tuple[List[int], np.ndarray]]:
     """Group raw clouds into per-bucket batches.
 
     Returns {bucket: (original_indices, stacked (K, bucket, D) array)}.
+    z_sort applies `z_sort_rows` after padding/downsampling (required
+    when the model was told the loader sorts, cfg.data.z_sort_points).
     """
     groups: Dict[int, List[int]] = defaultdict(list)
     for i, pc in enumerate(clouds):
         groups[choose_bucket(pc.shape[0], buckets)].append(i)
     out = {}
     for bucket, idxs in groups.items():
-        stacked = np.stack(
-            [pad_or_sample(np.asarray(clouds[i], np.float32), bucket, rng)
-             for i in idxs])
-        out[bucket] = (idxs, stacked)
+        rows = [pad_or_sample(np.asarray(clouds[i], np.float32), bucket, rng)
+                for i in idxs]
+        if z_sort:
+            rows = [z_sort_rows(r) for r in rows]
+        out[bucket] = (idxs, np.stack(rows))
     return out

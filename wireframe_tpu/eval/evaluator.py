@@ -85,7 +85,8 @@ def predict_bucketed(cfg: Config, params, clouds: List[np.ndarray],
     if forward_fn is None:
         forward_fn = jax.jit(make_forward_fn(cfg, train=False))
     rng = np.random.default_rng(cfg.data.seed)
-    groups = group_by_bucket(clouds, cfg.data.point_buckets, rng)
+    groups = group_by_bucket(clouds, cfg.data.point_buckets, rng,
+                             z_sort=cfg.data.z_sort_points)
     results: List[Optional[dict]] = [None] * len(clouds)
     for bucket, (idxs, stacked) in sorted(groups.items()):
         preds = forward_fn(params, jnp.asarray(stacked), None)

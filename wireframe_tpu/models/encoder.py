@@ -120,6 +120,11 @@ class PointNetEncoder(nn.Module):
         tile = (self.chain_tile or self.pallas_tile) if self.differentiable \
             else self.pallas_tile
         use_pallas = self.use_pallas and (n % tile == 0)
+        # In-kernel KV pooling eligibility (Mosaic block rule: the
+        # pooled tile must keep the second-minor dim a multiple of 8).
+        kv_pool = self.kv_pool if (
+            self.kv_pool > 1 and tile % self.kv_pool == 0
+            and (tile // self.kv_pool) % 8 == 0) else 0
         point_features = None
         if use_pallas and self.differentiable:
             # Training: fused custom-VJP chain for the point MLP; the
@@ -129,11 +134,6 @@ class PointNetEncoder(nn.Module):
                 make_differentiable_chain,
             )
 
-            # Mosaic block rule: pooled tile (tile/p) must keep the
-            # second-minor dim a multiple of 8.
-            kv_pool = self.kv_pool if (
-                self.kv_pool > 1 and tile % self.kv_pool == 0
-                and (tile // self.kv_pool) % 8 == 0) else 0
             chain = make_differentiable_chain(
                 tile=tile, compute_dtype=self.dtype,
                 backward=self.chain_backward, kv_pool=kv_pool)
@@ -177,9 +177,6 @@ class PointNetEncoder(nn.Module):
                                               and not kv_pool):
                 point_features = feats
         elif use_pallas:
-            kv_pool = self.kv_pool if (
-                self.kv_pool > 1 and tile % self.kv_pool == 0
-                and (tile // self.kv_pool) % 8 == 0) else 0
             need_pf = self.return_point_features or (
                 self.point_features_for_kv and not kv_pool)
             pooled = fused_point_encoder(

@@ -92,9 +92,11 @@ def _window_max_fwd_impl(features, mask, window, win_mask):
     m = mask.reshape(b, nw, window)
     filled = jnp.where(m[..., None], f, _NEG_INF)
     pooled = jnp.max(filled, axis=2)
-    # Lowest tied window offset; int8 is exact for window < 128 and keeps
-    # the saved residual at N*C/window bytes.
-    idx = jnp.argmax(filled, axis=2).astype(jnp.int8)
+    # Lowest tied window offset.  int8 keeps the saved residual small
+    # but is only exact for offsets < 128 — wider windows would wrap
+    # mod 256 and double-route cotangents in the backward hit-mask.
+    idx_dtype = jnp.int8 if window <= 128 else jnp.int32
+    idx = jnp.argmax(filled, axis=2).astype(idx_dtype)
     pooled = jnp.where(win_mask[..., None], pooled, jnp.zeros_like(pooled))
     return pooled, idx
 
@@ -116,8 +118,8 @@ def _window_max_bwd(window, residuals, g):
     # the forward inputs).
     g = jnp.where(win_mask[..., None], g, jnp.zeros_like(g))
     gather = jnp.repeat(g, window, axis=1)              # (B, N, C)
-    idx_full = jnp.repeat(idx, window, axis=1)          # (B, N, C) int8
-    offs = (jnp.arange(n, dtype=jnp.int32) % window).astype(jnp.int8)
+    idx_full = jnp.repeat(idx, window, axis=1)          # (B, N, C)
+    offs = (jnp.arange(n, dtype=jnp.int32) % window).astype(idx.dtype)
     hit = idx_full == offs[None, :, None]
     df = jnp.where(hit, gather, jnp.zeros_like(gather))
     return df, None, None

@@ -163,13 +163,11 @@ class WireframePredictor:
                     x[j] = pad_or_sample(prep[i]["pc"], bucket,
                                          self._cloud_rng(prep[i]["pc"]))
                     if cfg.data.z_sort_points:
-                        # Loader-side z-sort (DataConfig.z_sort_points):
-                        # invalid all-zero pad rows key to +inf and stay
-                        # last, matching the in-graph sort they replace.
-                        zkey = np.where(
-                            np.abs(x[j].sum(-1)) > 1e-9, x[j][:, 2],
-                            np.inf)
-                        x[j] = x[j][np.argsort(zkey, kind="stable")]
+                        from wireframe_tpu.data.bucketing import (
+                            z_sort_rows,
+                        )
+
+                        x[j] = z_sort_rows(x[j])
                 preds = self._forward(self.params, jnp.asarray(x), None)
                 verts = np.asarray(preds["vertices"])
                 probs = np.asarray(preds["edge_probs"])
