@@ -127,9 +127,13 @@ class PointNetEncoder(nn.Module):
             and (tile // self.kv_pool) % 8 == 0) else 0
         point_features = None
         if use_pallas and self.differentiable:
-            # Training: fused custom-VJP chain for the point MLP; the
-            # pooling reductions stay in XLA so their gradients (incl.
-            # max tie-splitting) are identical to the plain-XLA path.
+            # Training: fused custom-VJP chain for the point MLP.
+            # Without kv_pool the pooling reductions stay in XLA, so
+            # their gradients (incl. max tie-splitting) are identical to
+            # the plain-XLA path; with kv_pool the window/global pools
+            # come from the kernel and max ties route lowest-index —
+            # parameter-gradient-equivalent for ties from duplicated
+            # points (see ops.masked_pool.window_max_pool).
             from wireframe_tpu.ops.pallas_chain_grad import (
                 make_differentiable_chain,
             )
