@@ -16,7 +16,12 @@ line with the full grid.
 Usage (run on the real TPU chip — the default platform):
   python tools/bench_latency.py [--batches 1,8,32,128]
       [--buckets 2048,4096,8192,16384] [--iters 30] [--dtype bfloat16]
+      [--config configs/recommended.yaml] [--set k.e.y=v ...]
       [--out BENCH_LATENCY.md]
+
+With --config/--set the grid measures that architecture (e.g. the
+recommended query-decoder recipe) instead of the default parity MLP
+head; --dtype/--pallas still apply on top.
 """
 
 from __future__ import annotations
@@ -45,6 +50,10 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--pallas", default="1")
+    p.add_argument("--config", default=None,
+                   help="optional config yaml (e.g. configs/recommended.yaml)")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="k.e.y=v", help="config overrides")
     p.add_argument("--out", default=os.path.join(REPO, "BENCH_LATENCY.md"))
     args = p.parse_args(argv)
 
@@ -66,7 +75,12 @@ def main(argv=None) -> int:
     batches = [int(x) for x in args.batches.split(",")]
     buckets = [int(x) for x in args.buckets.split(",")]
 
-    cfg = Config()
+    if args.config or args.overrides:
+        from wireframe_tpu.config import load_config
+
+        cfg = load_config(args.config, args.overrides)
+    else:
+        cfg = Config()
     cfg.model.compute_dtype = args.dtype
     cfg.model.use_pallas_encoder = args.pallas == "1"
     cfg.__post_init__()
@@ -112,7 +126,9 @@ def main(argv=None) -> int:
         "",
         f"Measured on `{dev}` ({args.dtype}"
         f"{', fused Pallas encoder' if cfg.model.use_pallas_encoder else ''}"
-        "), flagship model (64 vertex slots).  Each cell: "
+        f"), `vertex_head={cfg.model.vertex_head}` "
+        f"(decoder_kv_pool={cfg.model.decoder_kv_pool}), "
+        f"{cfg.data.max_vertices} vertex slots.  Each cell: "
         f"{args.iters} individually timed dispatch->host-readback round "
         "trips of `make_forward_fn` at fixed (batch, bucket) shape — the "
         "latency a serving client observes, tunnel round trip included "
