@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from wireframe_tpu.config import DataConfig
+from wireframe_tpu.data.bucketing import z_sort_rows
 from wireframe_tpu.io.obj import load_wireframe
 from wireframe_tpu.io.xyz import read_xyz, select_features
 from wireframe_tpu.ops.pairs import edge_labels_from_edges, num_pairs
@@ -139,11 +140,12 @@ class Building3DDataset:
         if cfg.z_sort_points:
             # Stable ascending z-sort so the model's KV window pool sees
             # spatially coherent windows without an in-graph sort+gather
-            # (DataConfig.z_sort_points).  Matches the model's device
-            # sort: jnp.argsort on z with invalid rows keyed to +inf
-            # (none exist here — sampling emits exactly num_points rows).
-            point_cloud = point_cloud[
-                np.argsort(point_cloud[:, 2], kind="stable")]
+            # (DataConfig.z_sort_points).  z_sort_rows keys invalid
+            # (all-zero padding) rows to +inf exactly like the model's
+            # in-graph sort — sampling emits num_points valid rows today,
+            # but a raw argsort would silently place any future zero
+            # padding mid-cloud while the model skips its guarded sort.
+            point_cloud = z_sort_rows(point_cloud)
 
         wf_edges_vertices = edge_endpoint_array(wf_vertices, wf_edges)
         wf_centers = (wf_edges_vertices[:, 0, :] + wf_edges_vertices[:, 1, :]) / 2 \

@@ -39,6 +39,26 @@ from wireframe_tpu.ops.pallas_encoder import (
 )
 
 
+_kv_pool_warned: set = set()
+
+
+def _warn_kv_pool_fallback(kv_pool: int, tile: int) -> None:
+    """Warn (once per (kv_pool, tile)) when a configured decoder_kv_pool
+    cannot be fused into the Pallas kernel and silently demotes to the
+    slower XLA window pool."""
+    key = (kv_pool, tile)
+    if key in _kv_pool_warned:
+        return
+    _kv_pool_warned.add(key)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "decoder_kv_pool=%d cannot be fused into the Pallas encoder at "
+        "tile=%d (needs tile %% kv_pool == 0 and a pooled tile that is a "
+        "multiple of 8 rows or single-tile); falling back to the slower "
+        "XLA window pool", kv_pool, tile)
+
+
 class FusionMLP(nn.Module):
     """2C -> 4C -> 2C -> C fusion over concatenated (max ‖ mean) pools."""
 
@@ -120,11 +140,18 @@ class PointNetEncoder(nn.Module):
         tile = (self.chain_tile or self.pallas_tile) if self.differentiable \
             else self.pallas_tile
         use_pallas = self.use_pallas and (n % tile == 0)
-        # In-kernel KV pooling eligibility (Mosaic block rule: the
-        # pooled tile must keep the second-minor dim a multiple of 8).
+        # In-kernel KV pooling eligibility — mirrors the kernels' own
+        # asserts (ops/pallas_encoder.py:102-104): the pooled tile must
+        # keep the second-minor dim a multiple of 8 (Mosaic block rule)
+        # OR be the whole pooled axis (single-tile grids lower fine).
         kv_pool = self.kv_pool if (
             self.kv_pool > 1 and tile % self.kv_pool == 0
-            and (tile // self.kv_pool) % 8 == 0) else 0
+            and ((tile // self.kv_pool) % 8 == 0
+                 or tile // self.kv_pool == n // self.kv_pool)) else 0
+        if self.kv_pool > 1 and not kv_pool and use_pallas:
+            # A configured decoder_kv_pool that cannot fuse falls back to
+            # the slower XLA window pool — make the perf cliff visible.
+            _warn_kv_pool_fallback(self.kv_pool, tile)
         point_features = None
         if use_pallas and self.differentiable:
             # Training: fused custom-VJP chain for the point MLP.
