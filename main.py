@@ -149,6 +149,24 @@ def main(argv=None):
             print(f"Resuming from epoch {start_epoch} "
                   f"(optimizer step {int(meta.get('step', 0))})")
 
+    if state is None and cfg.train.init_from:
+        # Warm-start from a pretrained checkpoint: params only — fresh
+        # optimizer state, LR schedule, and epoch counter (use --resume
+        # to continue an interrupted run instead).
+        import jax
+
+        from wireframe_tpu.train.checkpoint import warm_start_params
+        from wireframe_tpu.train.state import create_train_state
+
+        state = create_train_state(
+            cfg, jax.random.PRNGKey(cfg.train.seed),
+            (cfg.train.batch_size, cfg.data.num_points,
+             cfg.model.input_dim),
+            steps_per_epoch=(1 if cfg.train.overfit_one_batch
+                             else len(loader)))
+        state = warm_start_params(state, cfg.train.init_from)
+        print(f"Initialized params from {cfg.train.init_from}")
+
     state = train_model(cfg, loader, metric_writer=writer, state=state,
                         start_epoch=start_epoch)
 

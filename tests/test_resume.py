@@ -12,6 +12,7 @@ from wireframe_tpu.train.checkpoint import (
     latest_step,
     load_checkpoint,
     save_checkpoint,
+    warm_start_params,
 )
 from wireframe_tpu.train.loop import train_model
 from wireframe_tpu.train.state import create_train_state
@@ -99,3 +100,42 @@ def test_periodic_checkpoint_and_resume(tmp_path, corpus):
         not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
     for x in a:
         assert np.isfinite(np.asarray(x)).all()
+
+
+def test_warm_start_params(tmp_path, corpus):
+    """TrainConfig.init_from semantics: params come from the checkpoint,
+    optimizer state and step stay fresh, EMA re-seeds from the loaded
+    weights, and an architecture mismatch raises instead of corrupting."""
+    ckdir = str(tmp_path / "pre_ck")
+    cfg = small_cfg(corpus, ckdir)
+    cfg.train.ema_decay = 0.999
+    cfg.__post_init__()
+    template = create_train_state(cfg, jax.random.PRNGKey(0), (2, 128, 8))
+    # Fake a "pretrained" checkpoint: perturbed copies of the init.
+    pre_params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) + 0.25, template.params)
+    save_checkpoint(ckdir, 7, pre_params, template.opt_state, cfg)
+
+    fresh = create_train_state(cfg, jax.random.PRNGKey(1), (2, 128, 8))
+    warmed = warm_start_params(fresh, ckdir)
+    got = jax.tree_util.tree_leaves(warmed.params)
+    want = jax.tree_util.tree_leaves(pre_params)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+    assert int(warmed.step) == 0                      # fresh step counter
+    # Fresh optimizer state (Adam moments all zero).
+    for leaf in jax.tree_util.tree_leaves(warmed.opt_state):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f" and arr.ndim > 0:
+            assert np.all(arr == 0)
+    # EMA re-seeded from the warm-start weights.
+    for g, w in zip(jax.tree_util.tree_leaves(warmed.ema_params), want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+    # Architecture mismatch fails loudly.
+    cfg2 = small_cfg(corpus, ckdir)
+    cfg2.model.encoder_hidden_dims = (48,)
+    cfg2.__post_init__()
+    other = create_train_state(cfg2, jax.random.PRNGKey(0), (2, 128, 8))
+    with pytest.raises(Exception):
+        warm_start_params(other, ckdir)

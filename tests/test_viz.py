@@ -65,5 +65,27 @@ def test_demo_data_generator(tmp_path):
     assert len(ds) == 2
     raw = ds.load_raw(0)
     assert raw["point_cloud"].shape[1] == 8
-    assert len(raw["wf_vertices"]) == 6
-    assert len(raw["wf_edges"]) == 9
+    assert 4 <= len(raw["wf_vertices"]) <= 40
+    assert len(raw["wf_edges"]) >= 4
+    assert raw["wf_edges"].max() < len(raw["wf_vertices"])
+
+
+def test_demo_data_generator_diversity():
+    """The generator spans multiple building families / vertex counts
+    (needed for the synthetic-pretrain corpus to transfer, QUALITY.md
+    round-4 study) and stays within the recipe's max_vertices=40."""
+    import numpy as np
+
+    from tools.gen_demo_data import make_building
+
+    rng = np.random.default_rng(3)
+    vcounts = set()
+    for _ in range(40):
+        cloud, verts, edges = make_building(rng)
+        assert 4 <= len(verts) <= 40
+        assert edges.max() < len(verts)
+        assert cloud.shape[1] == 8
+        # UTM-magnitude frame like the real corpus.
+        assert 5.3e5 < cloud[:, 0].mean() < 5.4e5
+        vcounts.add(len(verts))
+    assert len(vcounts) >= 4, vcounts

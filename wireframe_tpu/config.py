@@ -189,6 +189,12 @@ class TrainConfig:
     warmup_steps: int = 200
     lr_min_ratio: float = 0.01
     seed: int = 0
+    # Warm-start: initialize params from the latest checkpoint under this
+    # directory (fresh optimizer state and epoch counter — unlike
+    # `--resume`, which restores both).  The synthetic-pretrain →
+    # real-finetune lever (QUALITY.md round-4 study); architecture must
+    # match the checkpoint's.
+    init_from: str = ""
     # Device-side augmentation inside the jitted step (TPU-first replacement
     # for the host numpy augment at building3d.py:131-146).
     device_augment: bool = True

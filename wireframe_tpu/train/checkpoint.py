@@ -100,6 +100,32 @@ def load_checkpoint(directory: str, step: Optional[int] = None,
     return payload, meta
 
 
+def warm_start_params(state: Any, directory: str) -> Any:
+    """Load the latest checkpoint's params into `state`, keeping the
+    fresh optimizer state and step counter (TrainConfig.init_from — the
+    synthetic-pretrain → real-finetune path, unlike `--resume` which
+    restores the optimizer too).  The checkpoint's param tree must match
+    the state's exactly (architecture mismatch raises)."""
+    payload, _ = load_checkpoint(directory)
+    params = jax.tree_util.tree_map(jax.numpy.asarray, payload["params"])
+
+    # Structure AND shape check: mismatched architectures fail loudly
+    # here instead of at the first apply.
+    def _check(a, b):
+        if a.shape != b.shape:
+            raise ValueError(
+                f"init_from checkpoint param shape {b.shape} does not "
+                f"match the configured architecture's {a.shape}")
+
+    jax.tree_util.tree_map(_check, state.params, params)
+    state = state.replace(params=params)
+    if state.ema_params is not None:
+        # Re-seed the EMA trajectory from the warm-start weights.
+        state = state.replace(ema_params=jax.tree_util.tree_map(
+            jax.numpy.array, params))
+    return state
+
+
 def apply_checkpoint_model_config(cfg: Config, meta: dict) -> Config:
     """Overwrite cfg's MODEL architecture fields from checkpoint metadata.
 
