@@ -39,6 +39,13 @@ def parse_args(argv=None):
                    help="compute pred-vs-GT edge Hausdorff matrices in "
                         "batched device programs instead of host numpy "
                         "(the eval hot spot at corpus scale)")
+    p.add_argument("--pipelined", action="store_true",
+                   help="run the fused fixed-shape eval pipeline "
+                        "(eval/pipeline.py): one compiled program, "
+                        "dispatch-ahead readback — the corpus-scale fast "
+                        "path; counters match the legacy path")
+    p.add_argument("--eval-batch", type=int, default=64,
+                   help="device batch for --pipelined (default 64)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="KEY=VALUE")
     return p.parse_args(argv)
@@ -94,10 +101,18 @@ def main(argv=None):
 
         if args.raw_points:
             raise SystemExit("--sharded does not support --raw-points yet")
-        evaluate_model_sharded(cfg, payload["params"], dataset,
-                               n_shards=args.sharded,
-                               device_hausdorff=args.device_hausdorff,
-                               verbose=True)
+        evaluate_model_sharded(
+            cfg, payload["params"], dataset, n_shards=args.sharded,
+            device_hausdorff=args.device_hausdorff, verbose=True,
+            pipelined=args.pipelined,
+            pipeline_kwargs={"batch": args.eval_batch})
+    elif args.pipelined:
+        from wireframe_tpu.eval.pipeline import evaluate_corpus_pipelined
+
+        if args.raw_points:
+            raise SystemExit("--pipelined does not support --raw-points")
+        evaluate_corpus_pipelined(cfg, payload["params"], dataset,
+                                  batch=args.eval_batch, verbose=True)
     else:
         evaluate_model(cfg, payload["params"], dataset,
                        raw_points=args.raw_points,

@@ -108,6 +108,79 @@ def test_predict_bucketed_order_and_shapes(setup, rng):
         assert 0 <= r["count"] <= v
 
 
+def _exact_counter_keys():
+    from wireframe_tpu.metrics.ap_calculator import _COUNTER_KEYS
+
+    return _COUNTER_KEYS
+
+
+def test_pipelined_matches_legacy_exactly(setup):
+    """The fused fixed-shape pipeline (eval/pipeline.py) must reproduce
+    the legacy evaluate_model(device_hausdorff=True) counters EXACTLY
+    when both run the same forward batch shape (the pipeline is the same
+    math minus the dispatch/recompile overhead)."""
+    import copy
+
+    from wireframe_tpu.eval.pipeline import evaluate_corpus_pipelined
+
+    cfg, params = setup
+    for mode in ("prefix", "existence"):
+        c = copy.deepcopy(cfg)
+        c.model.slot_mask_mode = mode
+        ds = Building3DDataset(c.data, "test")
+        legacy = evaluate_model(c, params, ds, verbose=False,
+                                device_hausdorff=True)
+        stats = {}
+        fast = evaluate_corpus_pipelined(
+            c, params, ds, batch=c.eval.batch_size, qmax=16, emax=16,
+            stats=stats)
+        assert stats["qmax_overflows"] == 0
+        for k in _exact_counter_keys():
+            assert fast[k] == legacy[k], (mode, k, fast[k], legacy[k])
+        assert fast["edges_f1"] == legacy["edges_f1"]
+
+
+def test_pipelined_qmax_overflow_falls_back(setup):
+    """qmax smaller than the kept-pair count routes those samples through
+    the legacy host path — same counters, overflow counted."""
+    import copy
+
+    from wireframe_tpu.eval.pipeline import evaluate_corpus_pipelined
+
+    cfg, params = setup
+    cfg = copy.deepcopy(cfg)
+    # Threshold 0 keeps every live pair, guaranteeing >1 kept pair per
+    # sample on the random-init model.
+    cfg.eval.edge_confidence_thresh = 0.0
+    ds = Building3DDataset(cfg.data, "test")
+    legacy = evaluate_model(cfg, params, ds, verbose=False,
+                            device_hausdorff=True)
+    stats = {}
+    fast = evaluate_corpus_pipelined(
+        cfg, params, ds, batch=cfg.eval.batch_size, qmax=1, emax=16,
+        stats=stats)
+    for k in _exact_counter_keys():
+        assert fast[k] == legacy[k], (k, fast[k], legacy[k])
+    # The random-init model predicts >1 edge on at least one sample.
+    assert stats["qmax_overflows"] >= 1
+
+
+def test_pipelined_sharded_equals_plain(setup):
+    """Sharded pipelined eval merges to the same counters as the plain
+    pipelined run (both ride one compiled program at one batch shape)."""
+    from wireframe_tpu.eval.distributed import evaluate_model_sharded
+    from wireframe_tpu.eval.pipeline import evaluate_corpus_pipelined
+
+    cfg, params = setup
+    ds = Building3DDataset(cfg.data, "test")
+    kw = dict(batch=cfg.eval.batch_size, qmax=16, emax=16)
+    plain = evaluate_corpus_pipelined(cfg, params, ds, **kw)
+    sharded = evaluate_model_sharded(cfg, params, ds, n_shards=2,
+                                     pipelined=True, pipeline_kwargs=kw)
+    for k in _exact_counter_keys():
+        assert sharded[k] == plain[k], (k, sharded[k], plain[k])
+
+
 def test_decode_predictions_threshold(rng):
     from wireframe_tpu.ops.pairs import num_pairs
 

@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     p.add_argument("--json", default=None, help="write the report here too")
     p.add_argument("--skip-unsharded", action="store_true",
                    help="only run + time the sharded path")
+    p.add_argument("--legacy", action="store_true",
+                   help="use the round-3 small-batch eval path instead of "
+                        "the fused pipeline (eval/pipeline.py)")
+    p.add_argument("--eval-batch", type=int, default=64,
+                   help="device batch for the fused pipeline")
     args = p.parse_args(argv)
 
     from wireframe_tpu.utils.platform import (
@@ -44,6 +49,7 @@ def main(argv=None) -> int:
     honor_env_platform()
     enable_compile_cache()
     import jax
+    import numpy as np
 
     from wireframe_tpu.config import load_config
     from wireframe_tpu.data import Building3DDataset
@@ -76,15 +82,33 @@ def main(argv=None) -> int:
           f"({args.shards} shards, device Hausdorff)",
           file=sys.stderr, flush=True)
 
+    pipe_kw = {"batch": args.eval_batch}
+    if not args.legacy:
+        # One compiled program shared by the sharded AND plain runs (and
+        # warmed before either timer starts, so neither pays the cold
+        # compile).
+        from wireframe_tpu.eval.pipeline import make_eval_step
+
+        pipe_kw["eval_step"] = make_eval_step(cfg, 128, 64,
+                                              args.eval_batch)
+        warm_clouds = np.zeros(
+            (args.eval_batch, cfg.data.num_points, cfg.model.input_dim),
+            np.float32)
+        warm_gt = np.zeros((args.eval_batch, 64, 2, 3), np.float32)
+        jax.block_until_ready(pipe_kw["eval_step"](
+            payload["params"], warm_clouds, warm_gt))
     t0 = time.perf_counter()
     sharded = evaluate_model_sharded(cfg, payload["params"], dataset,
                                      n_shards=args.shards,
-                                     device_hausdorff=True)
+                                     device_hausdorff=True,
+                                     pipelined=not args.legacy,
+                                     pipeline_kwargs=pipe_kw)
     t_sharded = time.perf_counter() - t0
 
     report = {
         "n_buildings": len(dataset),
         "shards": args.shards,
+        "pipelined": not args.legacy,
         "device": str(jax.devices()[0]),
         "sharded_s": round(t_sharded, 1),
         "sharded_buildings_per_sec": round(len(dataset) / t_sharded, 2),
@@ -93,8 +117,19 @@ def main(argv=None) -> int:
 
     if not args.skip_unsharded:
         t0 = time.perf_counter()
-        plain = evaluate_model(cfg, payload["params"], dataset,
-                               verbose=False, device_hausdorff=True)
+        if args.legacy:
+            plain = evaluate_model(cfg, payload["params"], dataset,
+                                   verbose=False, device_hausdorff=True)
+        else:
+            from wireframe_tpu.eval.pipeline import (
+                evaluate_corpus_pipelined,
+            )
+
+            stats = {}
+            plain = evaluate_corpus_pipelined(cfg, payload["params"],
+                                              dataset, stats=stats,
+                                              **pipe_kw)
+            report["qmax_overflows"] = stats["qmax_overflows"]
         t_plain = time.perf_counter() - t0
         report["unsharded_s"] = round(t_plain, 1)
         report["unsharded_buildings_per_sec"] = round(
