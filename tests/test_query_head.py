@@ -346,3 +346,65 @@ def test_host_z_sort_matches_device_sort(rng):
     np.testing.assert_allclose(np.asarray(out_dev["edge_probs"]),
                                np.asarray(out_host["edge_probs"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_cross_kv_matches_per_layer_layout():
+    """model.decoder_fused_cross_kv batches all layers' cross K/V into
+    one matmul pair.  Same function class: transplanting the per-layer
+    kernels into the fused layout must reproduce the forward outputs
+    (f32, so the softmax dtype is identical too)."""
+    import copy
+
+    cfg = small_query_cfg()
+    model, params, x = init_model(cfg)
+    base = model.apply({"params": params}, x, None, train=False)
+
+    fcfg = copy.deepcopy(cfg)
+    fcfg.model.decoder_fused_cross_kv = True
+    fmodel = PointCloudToWireframe(fcfg.model)
+    fparams = fmodel.init({"params": jax.random.PRNGKey(1)}, x, None,
+                          train=False)["params"]
+
+    # Transplant: per-layer cross_attn {query,key,value,out} -> fused
+    # layout {cross_q, cross_k_all, cross_v_all, cross_out}.
+    fparams = jax.tree_util.tree_map(lambda a: a, fparams)  # mutable copy
+    dec_b = params["vertex_decoder"]
+    dec_f = fparams["vertex_decoder"]
+    L = cfg.model.decoder_layers
+    k_kernel = np.stack([np.asarray(
+        dec_b[f"block{i}"]["cross_attn"]["key"]["kernel"])
+        for i in range(L)], axis=1)            # (D, L, H, hd)
+    v_kernel = np.stack([np.asarray(
+        dec_b[f"block{i}"]["cross_attn"]["value"]["kernel"])
+        for i in range(L)], axis=1)
+    k_bias = np.stack([np.asarray(
+        dec_b[f"block{i}"]["cross_attn"]["key"]["bias"])
+        for i in range(L)])                    # (L, H, hd)
+    v_bias = np.stack([np.asarray(
+        dec_b[f"block{i}"]["cross_attn"]["value"]["bias"])
+        for i in range(L)])
+    dec_f["cross_k_all"] = {"kernel": jnp.asarray(k_kernel),
+                            "bias": jnp.asarray(k_bias)}
+    dec_f["cross_v_all"] = {"kernel": jnp.asarray(v_kernel),
+                            "bias": jnp.asarray(v_bias)}
+    for i in range(L):
+        src = dec_b[f"block{i}"]
+        dst = dec_f[f"block{i}"]
+        dst["cross_q"] = src["cross_attn"]["query"]
+        dst["cross_out"] = src["cross_attn"]["out"]
+        for shared in ("self_attn", "ln_self", "ln_cross", "ln_ffn",
+                       "ffn_in", "ffn_out"):
+            dst[shared] = src[shared]
+    for shared in ("point_proj", "point_ln", "slot_queries", "global_proj",
+                   "out_ln", "coord_head", "exist_head"):
+        if shared in dec_b:
+            dec_f[shared] = dec_b[shared]
+    for top in params:
+        if top != "vertex_decoder":
+            fparams[top] = params[top]
+
+    fused = fmodel.apply({"params": fparams}, x, None, train=False)
+    for key in ("vertices", "existence_probabilities", "edge_probs"):
+        np.testing.assert_allclose(np.asarray(fused[key]),
+                                   np.asarray(base[key]),
+                                   rtol=2e-5, atol=2e-5)

@@ -98,6 +98,13 @@ class ModelConfig:
     # space (PointNet features are max-pool-compatible by construction);
     # windows with no valid point are masked out of the attention.
     decoder_kv_pool: int = 1
+    # Project all decoder layers' cross-attention K/V from the shared KV
+    # tokens in one batched matmul pair ((D) -> (L, H, hd)) instead of
+    # 2 matmuls per layer — a dispatch-tail lever (ROADMAP #19: ~4.3k
+    # fused ops/step with nothing above 1.1 ms).  Same function class
+    # and parameter count, DIFFERENT param layout: checkpoints do not
+    # interchange across this flag (recorded in checkpoint metadata).
+    decoder_fused_cross_kv: bool = False
     # Derived from data.z_sort_points (__post_init__): the loader already
     # z-sorted the rows, so the model skips its in-graph sort + gather.
     points_z_sorted: bool = False

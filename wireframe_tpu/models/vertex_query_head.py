@@ -20,23 +20,33 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
 class DecoderBlock(nn.Module):
-    """Pre-LN: self-attention over queries, cross-attention to points, FFN."""
+    """Pre-LN: self-attention over queries, cross-attention to points, FFN.
+
+    When `fused_kv` is on, the block receives its cross-attention K/V
+    PRE-PROJECTED (computed for all layers in one batched matmul by the
+    parent — the dispatch-tail lever `model.decoder_fused_cross_kv`) and
+    runs the cross-attention manually; otherwise it projects kv itself
+    via flax attention (the round-2 layout, checkpoint-compatible with
+    the shipped recipe)."""
 
     dim: int
     num_heads: int
     ffn_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fused_kv: bool = False
 
     @nn.compact
-    def __call__(self, q: jnp.ndarray, kv: jnp.ndarray,
-                 kv_mask: Optional[jnp.ndarray],
+    def __call__(self, q: jnp.ndarray, kv, kv_mask: Optional[jnp.ndarray],
                  deterministic: bool = True) -> jnp.ndarray:
-        # q: (B, V, D) slot queries; kv: (B, N, D) projected point features.
+        # q: (B, V, D) slot queries; kv: (B, N, D) projected point
+        # features, or a ((B, N, H, hd), (B, N, H, hd)) pre-projected
+        # (key, value) pair when fused_kv.
         h = nn.LayerNorm(dtype=jnp.float32, name="ln_self")(q)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
@@ -45,16 +55,34 @@ class DecoderBlock(nn.Module):
         q = q + h
 
         h = nn.LayerNorm(dtype=jnp.float32, name="ln_cross")(q)
-        mask = None
-        if kv_mask is not None:
-            # (B, 1, V, N): every query may attend only to valid points.
-            mask = jnp.broadcast_to(
-                kv_mask[:, None, None, :],
-                (q.shape[0], 1, q.shape[1], kv.shape[1]))
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype,
-            dropout_rate=self.dropout, deterministic=deterministic,
-            name="cross_attn")(h, kv, kv, mask=mask)
+        if self.fused_kv:
+            k_i, v_i = kv
+            head_dim = self.dim // self.num_heads
+            qh = nn.DenseGeneral((self.num_heads, head_dim),
+                                 dtype=self.dtype,
+                                 name="cross_q")(h)          # (B,V,H,hd)
+            logits = jnp.einsum("bvhd,bnhd->bhvn",
+                                qh / jnp.sqrt(head_dim).astype(self.dtype),
+                                k_i)
+            if kv_mask is not None:
+                logits = jnp.where(kv_mask[:, None, None, :], logits,
+                                   jnp.finfo(logits.dtype).min)
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            w = w.astype(self.dtype)
+            ctx = jnp.einsum("bhvn,bnhd->bvhd", w, v_i)
+            h = nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
+                                name="cross_out")(ctx)
+        else:
+            mask = None
+            if kv_mask is not None:
+                # (B, 1, V, N): every query attends only to valid points.
+                mask = jnp.broadcast_to(
+                    kv_mask[:, None, None, :],
+                    (q.shape[0], 1, q.shape[1], kv.shape[1]))
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                dropout_rate=self.dropout, deterministic=deterministic,
+                name="cross_attn")(h, kv, kv, mask=mask)
         q = q + h
 
         h = nn.LayerNorm(dtype=jnp.float32, name="ln_ffn")(q)
@@ -84,6 +112,13 @@ class QueryVertexDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     kv_pool: int = 1
+    # Project every layer's cross-attention K/V from the shared KV tokens
+    # in ONE batched matmul pair instead of 2 matmuls per layer (the
+    # round-4 dispatch-tail lever, model.decoder_fused_cross_kv).  Same
+    # parameter count/function class, different param layout — NOT
+    # checkpoint-compatible with the per-layer layout, so it is a config
+    # flag recorded in checkpoint metadata.
+    fused_cross_kv: bool = False
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray,
@@ -129,6 +164,17 @@ class QueryVertexDecoder(nn.Module):
                 global_features.astype(self.dtype))
             q = q + g[:, None, :]
 
+        k_all = v_all = None
+        if self.fused_cross_kv:
+            head_dim = self.dim // self.num_heads
+            # (B, N, L, H, hd): all layers' cross K/V in one matmul pair.
+            k_all = nn.DenseGeneral(
+                (self.num_layers, self.num_heads, head_dim),
+                dtype=self.dtype, name="cross_k_all")(kv)
+            v_all = nn.DenseGeneral(
+                (self.num_layers, self.num_heads, head_dim),
+                dtype=self.dtype, name="cross_v_all")(kv)
+
         block_cls = DecoderBlock
         if self.remat:
             # Backward recomputes each block from its inputs instead of
@@ -138,11 +184,13 @@ class QueryVertexDecoder(nn.Module):
             # `deterministic`.
             block_cls = nn.remat(DecoderBlock, static_argnums=(4,))
         for i in range(self.num_layers):
+            kv_arg = ((k_all[:, :, i], v_all[:, :, i])
+                      if self.fused_cross_kv else kv)
             q = block_cls(
                 dim=self.dim, num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim, dropout=self.dropout,
-                dtype=self.dtype, name=f"block{i}")(
-                    q, kv, point_mask, deterministic)
+                dtype=self.dtype, fused_kv=self.fused_cross_kv,
+                name=f"block{i}")(q, kv_arg, point_mask, deterministic)
 
         feats = nn.LayerNorm(dtype=jnp.float32, name="out_ln")(q)
         coords = nn.Dense(3, dtype=self.dtype, name="coord_head")(feats)

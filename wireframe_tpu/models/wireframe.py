@@ -111,6 +111,7 @@ class PointCloudToWireframe(nn.Module):
                 dtype=dt,
                 remat=cfg.decoder_remat,
                 kv_pool=cfg.decoder_kv_pool,
+                fused_cross_kv=cfg.decoder_fused_cross_kv,
                 name="vertex_decoder",
             )(kv_feats, kv_mask,
               global_features, deterministic=not train,
