@@ -53,6 +53,7 @@ def test_output_shapes(small_cfg, model_and_params, rng):
     assert ((ep >= 0) & (ep <= 1)).all()
 
 
+@pytest.mark.slow
 def test_point_padding_invariance(small_cfg, model_and_params, rng):
     """Appending zero point rows must not change ANY output — the whole
     model consumes only masked pools (the reference's unmasked vertex-head

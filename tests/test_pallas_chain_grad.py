@@ -89,6 +89,7 @@ def test_gradients_match_reference_bf16(rng):
     _assert_tree_close(g_chain, g_ref, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_encoder_module_grads_pallas_vs_xla(rng):
     """Full PointNetEncoder: grads through pools + fusion MLP must match
     between the differentiable-Pallas path and the plain-XLA path."""
@@ -330,6 +331,7 @@ def test_chain_kv_pool_matches_xla(rng, backward):
     _assert_tree_close(g1, g2, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_train_step_kv_pool_pallas_matches_xla(rng):
     """Same trajectory check with the query decoder + decoder_kv_pool>1:
     the pallas path pools KV inside the chain kernel, the XLA path pools

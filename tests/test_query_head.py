@@ -80,6 +80,7 @@ def test_query_head_is_input_sensitive():
     assert not np.allclose(va, vb, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_query_head_padding_invariance():
     """Zero-padding points must not change predictions (cross-attention
     key mask correctness)."""
@@ -182,6 +183,7 @@ def test_train_step_query_head_grads_flow():
     assert not np.allclose(before, after)
 
 
+@pytest.mark.slow
 def test_decoder_remat_gradients_identical():
     """model.decoder_remat=True recomputes each decoder block in the
     backward instead of stashing activations; gradients must be
@@ -211,6 +213,7 @@ def test_decoder_remat_gradients_identical():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_decoder_kv_pool_forward_and_grads():
     """model.decoder_kv_pool=w pools the decoder KV axis w-fold; the
     model must stay finite, input-sensitive, and padding-invariant, and
@@ -279,6 +282,7 @@ def test_pairs_from_slot_mask_decode():
     np.testing.assert_array_equal(got, [[0, 2], [2, 3]])
 
 
+@pytest.mark.slow
 def test_edge_dist_gradient_finite_on_coincident_vertices():
     """Two identical predicted vertices: the pair-distance gradient must
     stay finite (bare jnp.linalg.norm gives NaN at 0, which poisoned

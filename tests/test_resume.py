@@ -102,6 +102,7 @@ def test_periodic_checkpoint_and_resume(tmp_path, corpus):
         assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_warm_start_params(tmp_path, corpus):
     """TrainConfig.init_from semantics: params come from the checkpoint,
     optimizer state and step stay fresh, EMA re-seeds from the loaded

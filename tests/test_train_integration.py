@@ -157,6 +157,7 @@ def test_full_epoch_loop_runs(corpus):
     assert int(state.step) == 4  # 2 epochs x 2 batches
 
 
+@pytest.mark.slow
 def test_flatten_optimizer_same_trajectory(rng):
     """train.flatten_optimizer runs the optimizer on one concatenated
     vector — updates must match the per-leaf chain to fp tolerance."""
