@@ -50,6 +50,40 @@ def corpus(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_logged_lr_tracks_schedule(corpus):
+    """The metric log's learning_rate must follow the live warmup_cosine
+    schedule, not the config constant (the reference logs the optimizer's
+    actual param-group LR, train.py:176)."""
+    from wireframe_tpu.train.loop import train_model
+    from wireframe_tpu.train.state import make_lr_schedule
+
+    cfg = small_cfg()
+    cfg.data.root_dir = corpus
+    cfg.data.augment = False
+    cfg.train.overfit_one_batch = True
+    cfg.train.num_epochs = 4
+    cfg.train.log_every = 1
+    cfg.train.lr_schedule = "warmup_cosine"
+    cfg.train.warmup_steps = 2
+
+    class Capture:
+        rows = []
+
+        def log(self, metrics):
+            self.rows.append(dict(metrics))
+
+    writer = Capture()
+    train_model(cfg, BatchLoader(ds := Building3DDataset(cfg.data, "train"),
+                                 2, cfg.model.max_vertices, seed=0,
+                                 augment_on_host=False, prefetch=0),
+                metric_writer=writer)
+    logged = [r["learning_rate"] for r in writer.rows]
+    sched = make_lr_schedule(cfg, steps_per_epoch=1)
+    expect = [float(sched(s)) for s in range(4)]
+    np.testing.assert_allclose(logged, expect, rtol=1e-6)
+    assert len(set(logged)) > 1  # warmup then decay: must not be constant
+
+
 def test_overfit_loss_decreases(corpus):
     cfg = small_cfg()
     cfg.data.root_dir = corpus

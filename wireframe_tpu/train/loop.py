@@ -23,7 +23,12 @@ import numpy as np
 
 from wireframe_tpu.config import Config
 from wireframe_tpu.data.loader import BatchLoader
-from wireframe_tpu.train.state import TrainState, create_train_state, param_count
+from wireframe_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_lr_schedule,
+    param_count,
+)
 from wireframe_tpu.train.step import make_train_step
 
 logger = logging.getLogger(__name__)
@@ -138,6 +143,19 @@ def train_model(cfg: Config, loader: BatchLoader,
 
     train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
 
+    # Live LR for the metric log: the reference logs the optimizer's
+    # actual param-group LR (train.py:176), so under warmup_cosine the
+    # logged value must track the schedule, not the config constant.
+    lr_sched = make_lr_schedule(
+        cfg, 1 if cfg.train.overfit_one_batch else len(loader))
+
+    def _live_lr() -> float:
+        if isinstance(lr_sched, (int, float)):
+            return float(lr_sched)
+        # state.step counts completed optimizer steps; the metrics just
+        # logged came from the step that consumed LR at index step-1.
+        return float(lr_sched(max(int(state.step) - 1, 0)))
+
     best_loss = float("inf")
     best_rmse = float("inf")
     best_params = None
@@ -199,7 +217,7 @@ def train_model(cfg: Config, loader: BatchLoader,
                     "train_edge_f1": m["train_edge_f1"],
                     "train_edge_precision": m["train_edge_precision"],
                     "train_edge_recall": m["train_edge_recall"],
-                    "learning_rate": cfg.train.learning_rate,
+                    "learning_rate": _live_lr(),
                     "elapsed_time": elapsed,
                     "best_loss": best_loss,
                     "best_vertex_rmse": best_rmse,
