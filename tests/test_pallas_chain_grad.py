@@ -331,6 +331,104 @@ def test_chain_kv_pool_matches_xla(rng, backward):
     _assert_tree_close(g1, g2, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("backward", ["remat", "stash"])
+def test_chain_kv_pool_slim_matches_xla(rng, backward):
+    """emit_features=False: chain -> (pooled, sums) only.  The forward
+    never writes the (B, N, C) features and the backward never reads a
+    features cotangent — outputs and VJP must still match the XLA
+    reference with the loss taken on pooled+sums alone."""
+    from wireframe_tpu.ops.masked_pool import (
+        point_validity_mask,
+        window_max_pool,
+    )
+
+    b, n, d, c, p = 2, 128, 8, 64, 4
+    sp, fw, fb = make_params(rng, d, [32, 64], c)
+    sp = tuple(sp)
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    x[0, 96:] = 0.0       # padding tail
+    x[1, 8:12] = 0.0      # a fully-invalid window mid-cloud
+    xj = jnp.asarray(x)
+    mask = point_validity_mask(xj)
+
+    slim = make_differentiable_chain(tile=32, compute_dtype=jnp.float32,
+                                     backward=backward, kv_pool=p,
+                                     emit_features=False)
+    pooled, sums = slim(xj, sp, fw, fb)
+    ref_feats = point_encoder_reference(xj, sp, fw, fb,
+                                        compute_dtype=jnp.float32)
+    ref_pooled, _ = window_max_pool(ref_feats, mask, p)
+    ref_sums = jnp.sum(
+        jnp.where(mask[..., None], ref_feats, 0.0).reshape(b, n // p, p, c),
+        axis=2)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pooled),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_slim(x, sp, fw, fb):
+        pl_, sm = slim(x, sp, fw, fb)
+        return jnp.sum(pl_ ** 2) + jnp.sum(sm * 0.3)
+
+    def loss_ref(x, sp, fw, fb):
+        f = point_encoder_reference(x, sp, fw, fb,
+                                    compute_dtype=jnp.float32)
+        pl_, _ = window_max_pool(f, mask, p)
+        sm = jnp.sum(
+            jnp.where(mask[..., None], f, 0.0).reshape(b, n // p, p, c),
+            axis=2)
+        return jnp.sum(pl_ ** 2) + jnp.sum(sm * 0.3)
+
+    g1 = jax.grad(loss_slim, argnums=(0, 1, 2, 3))(xj, sp, fw, fb)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xj, sp, fw, fb)
+    _assert_tree_close(g1, g2, rtol=1e-3, atol=2e-4)
+
+
+def test_encoder_kv_pool_drops_dead_feature_output(rng):
+    """PointNetEncoder on the differentiable kv_pool path without
+    return_point_features must route through the slim chain: identical
+    masked pools / kv outputs and gradients to the feature-emitting
+    variant, no 'mean'/'max' keys (their only producer is the dead
+    feature tensor), and point_features=None."""
+    from wireframe_tpu.models.encoder import PointNetEncoder
+
+    b, n, d, c, p = 2, 64, 8, 32, 4
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    x[0, 48:] = 0.0
+    xj = jnp.asarray(x)
+
+    enc = PointNetEncoder(input_dim=d, hidden_dims=(16, 32), output_dim=c,
+                          dtype=jnp.float32, use_pallas=True,
+                          differentiable=True, pallas_tile=32, kv_pool=p)
+    params = enc.init(jax.random.PRNGKey(0), xj)
+    g, pooled, pf = enc.apply(params, xj)
+    assert pf is None
+    assert "mean" not in pooled and "max" not in pooled
+    enc_full = PointNetEncoder(input_dim=d, hidden_dims=(16, 32),
+                               output_dim=c, dtype=jnp.float32,
+                               use_pallas=True, differentiable=True,
+                               pallas_tile=32, kv_pool=p,
+                               return_point_features=True)
+    g_full, pooled_full, pf_full = enc_full.apply(params, xj)
+    assert pf_full is not None
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_full),
+                               rtol=1e-6, atol=1e-6)
+    for k in ("masked_max", "masked_mean", "kv", "kv_mask"):
+        np.testing.assert_allclose(np.asarray(pooled[k]),
+                                   np.asarray(pooled_full[k]),
+                                   rtol=1e-6, atol=1e-6)
+
+    def loss(fn):
+        def f(params):
+            g_, pooled_, _ = fn(params)
+            return jnp.sum(g_ ** 2) + jnp.sum(pooled_["kv"] * 0.1)
+        return f
+
+    gr = jax.grad(loss(lambda prm: enc.apply(prm, xj)))(params)
+    gr_full = jax.grad(loss(lambda prm: enc_full.apply(prm, xj)))(params)
+    _assert_tree_close(gr, gr_full, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_train_step_kv_pool_pallas_matches_xla(rng):
     """Same trajectory check with the query decoder + decoder_kv_pool>1:

@@ -165,14 +165,27 @@ class PointNetEncoder(nn.Module):
                 make_differentiable_chain,
             )
 
+            # With kv_pool the decoder consumes ONLY the pooled KV: the
+            # full (B, N, C) features are dead downstream unless the
+            # caller explicitly asked for them, so the slim chain skips
+            # the 335 MB-at-recipe-shape HBM write in the forward AND
+            # the materialized-zeros cotangent in the backward
+            # (ROADMAP #27's trace oddity).
+            need_feats = bool(self.return_point_features) or not kv_pool
             chain = make_differentiable_chain(
                 tile=tile, compute_dtype=self.dtype,
-                backward=self.chain_backward, kv_pool=kv_pool)
+                backward=self.chain_backward, kv_pool=kv_pool,
+                emit_features=need_feats)
             xf = x.astype(jnp.float32)
             mask = point_validity_mask(x)
             if kv_pool:
-                feats, pooled_kv, kv_sums = chain(
-                    xf, tuple(stage_params), final_w, final_b)
+                if need_feats:
+                    feats, pooled_kv, kv_sums = chain(
+                        xf, tuple(stage_params), final_w, final_b)
+                else:
+                    pooled_kv, kv_sums = chain(
+                        xf, tuple(stage_params), final_w, final_b)
+                    feats = None
                 b_, n_ = mask.shape
                 kv_mask = jnp.any(
                     mask.reshape(b_, n_ // kv_pool, kv_pool), axis=-1)
@@ -187,14 +200,15 @@ class PointNetEncoder(nn.Module):
                     "masked_max": masked_max(pooled_kv, kv_mask),
                     "masked_mean": (jnp.sum(kv_sums, axis=-2)
                                     / count[:, None]),
-                    # Unmasked pools: only the legacy MLP vertex head
-                    # consumes these (never with kv_pool); XLA removes
-                    # them when unused.
-                    "mean": jnp.mean(feats, axis=-2),
-                    "max": jnp.max(feats, axis=-2),
                     "kv": pooled_kv,
                     "kv_mask": kv_mask,
                 }
+                if feats is not None:
+                    # Unmasked pools: only the legacy MLP vertex head
+                    # consumes these (never with kv_pool); XLA removes
+                    # them when unused.
+                    pooled["mean"] = jnp.mean(feats, axis=-2)
+                    pooled["max"] = jnp.max(feats, axis=-2)
             else:
                 feats = chain(xf, tuple(stage_params),
                               final_w, final_b)            # (B, N, C) f32

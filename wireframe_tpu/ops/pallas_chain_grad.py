@@ -157,7 +157,8 @@ def _kv_out_extras(b, n, c, tile, kv_pool):
 
 
 def _chain_forward_pallas(x, stage_params, final_w, final_b,
-                          *, tile, cdt, interpret, kv_pool=0):
+                          *, tile, cdt, interpret, kv_pool=0,
+                          emit_features=True):
     """Fused forward: (B, N, D) -> per-point features (B, N, C) f32.
 
     With kv_pool=p > 1 the kernel also emits the masked window max-pool
@@ -167,6 +168,12 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
     straight from VMEM (the XLA formulations cost several (B, N, C) HBM
     relayout passes at the B=64 recipe).  Returns feats or
     (feats, pooled (B, N/p, C), idx (B, N/p, C) i32, sums (B, N/p, C)).
+
+    emit_features=False (kv_pool only) drops the (B, N, C) feature
+    output entirely — the features live only in VMEM long enough to be
+    pooled.  At the B=64 recipe that (B, 2560, 512) f32 tensor is a
+    335 MB HBM write the query-decoder path never reads (ROADMAP #27's
+    trace oddity); returns (pooled, idx, sums).
     """
     b, n, d = x.shape
     c = final_w.shape[-1]
@@ -174,6 +181,7 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
     assert n % tile == 0, f"N={n} not divisible by tile={tile}"
     if kv_pool:
         assert tile % kv_pool == 0, (tile, kv_pool)
+    assert emit_features or kv_pool, "feature-less chain needs kv_pool"
     grid = (b, n // tile)
 
     flat_params, param_specs = _pack_params(stage_params, final_w,
@@ -183,6 +191,7 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
                      memory_space=pltpu.VMEM),
         *param_specs,
     ]
+    n_out_feat = 1 if emit_features else 0
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -190,7 +199,6 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
                       for i in range(n_stages)]
         fw_ref = refs[1 + 4 * n_stages]
         fb_ref = refs[2 + 4 * n_stages]
-        out_ref = refs[3 + 4 * n_stages]
 
         h = x_ref[0].astype(cdt)
         for (w_ref, b_ref, g_ref, be_ref) in stage_refs:
@@ -199,9 +207,11 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
             h = jnp.maximum(h, 0.0).astype(cdt)
         out = jnp.dot(h, fw_ref[:],
                       preferred_element_type=jnp.float32) + fb_ref[0]
-        out_ref[0] = out
+        if emit_features:
+            refs[3 + 4 * n_stages][0] = out
         if kv_pool:
-            pool_ref, idx_ref, sum_ref = refs[4 + 4 * n_stages:]
+            pool_ref, idx_ref, sum_ref = refs[3 + n_out_feat
+                                              + 4 * n_stages:]
             pooled, idx, sums = _kv_pool_tile_fwd(x_ref[0], out, kv_pool)
             pool_ref[0] = pooled
             idx_ref[0] = idx
@@ -211,9 +221,13 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
                       for (w, *_r) in stage_params)
     stage_flops += 2 * final_w.shape[0] * final_w.shape[1]
 
-    out_shape = [jax.ShapeDtypeStruct((b, n, c), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                              memory_space=pltpu.VMEM)]
+    out_shape = []
+    out_specs = []
+    if emit_features:
+        out_shape.append(jax.ShapeDtypeStruct((b, n, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, tile, c),
+                                      lambda bi, ti: (bi, ti, 0),
+                                      memory_space=pltpu.VMEM))
     kv_bytes = 0
     if kv_pool:
         kv_shapes, kv_specs = _kv_out_extras(b, n, c, tile, kv_pool)
@@ -234,7 +248,8 @@ def _chain_forward_pallas(x, stage_params, final_w, final_b,
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * n * stage_flops,
-            bytes_accessed=x.size * 4 + b * n * c * 4 + kv_bytes
+            bytes_accessed=x.size * 4 + b * n * c * 4 * n_out_feat
+            + kv_bytes
             + sum(p.size * p.dtype.itemsize for p in flat_params),
             transcendentals=0,
         ),
@@ -247,7 +262,8 @@ def _stage_widths(stage_params):
 
 
 def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
-                                *, tile, cdt, interpret, kv_pool=0):
+                                *, tile, cdt, interpret, kv_pool=0,
+                                emit_features=True):
     """Fused forward that ALSO writes each stage's pre-LayerNorm
     activations z_k (in `cdt`) to HBM, so the stash backward can skip
     the recompute matmuls entirely (~1/3 of the remat backward's MXU
@@ -256,7 +272,9 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
 
     Returns (features (B, N, C) f32, tuple of z_k (B, N, H_k) cdt);
     with kv_pool > 1 also (pooled, idx, sums) — see
-    `_chain_forward_pallas`.
+    `_chain_forward_pallas`.  emit_features=False (kv_pool only) drops
+    the (B, N, C) feature output (the stash z_k are still written — the
+    backward needs them) and returns (zs, pooled, idx, sums).
     """
     b, n, d = x.shape
     c = final_w.shape[-1]
@@ -264,6 +282,7 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
     assert n % tile == 0, f"N={n} not divisible by tile={tile}"
     if kv_pool:
         assert tile % kv_pool == 0, (tile, kv_pool)
+    assert emit_features or kv_pool, "feature-less chain needs kv_pool"
     grid = (b, n // tile)
 
     flat_params, param_specs = _pack_params(stage_params, final_w,
@@ -274,9 +293,14 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
         *param_specs,
     ]
     widths = _stage_widths(stage_params)
-    out_shape = [jax.ShapeDtypeStruct((b, n, c), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                              memory_space=pltpu.VMEM)]
+    n_out_feat = 1 if emit_features else 0
+    out_shape = []
+    out_specs = []
+    if emit_features:
+        out_shape.append(jax.ShapeDtypeStruct((b, n, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, tile, c),
+                                      lambda bi, ti: (bi, ti, 0),
+                                      memory_space=pltpu.VMEM))
     for h in widths:
         out_shape.append(jax.ShapeDtypeStruct((b, n, h), cdt))
         out_specs.append(pl.BlockSpec((1, tile, h),
@@ -296,8 +320,8 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
                       for i in range(n_stages)]
         fw_ref = refs[1 + 4 * n_stages]
         fb_ref = refs[2 + 4 * n_stages]
-        out_ref = refs[3 + 4 * n_stages]
-        z_refs = refs[4 + 4 * n_stages: 4 + 4 * n_stages + n_stages]
+        z0 = 3 + n_out_feat + 4 * n_stages
+        z_refs = refs[z0: z0 + n_stages]
 
         h = x_ref[0].astype(cdt)
         for k, (w_ref, b_ref, g_ref, be_ref) in enumerate(stage_refs):
@@ -307,9 +331,10 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
             h = jnp.maximum(_ln(z, g_ref[0], be_ref[0]), 0.0).astype(cdt)
         out = jnp.dot(h, fw_ref[:],
                       preferred_element_type=jnp.float32) + fb_ref[0]
-        out_ref[0] = out
+        if emit_features:
+            refs[3 + 4 * n_stages][0] = out
         if kv_pool:
-            pool_ref, idx_ref, sum_ref = refs[4 + 5 * n_stages:]
+            pool_ref, idx_ref, sum_ref = refs[z0 + n_stages:]
             pooled, idx, sums = _kv_pool_tile_fwd(x_ref[0], out, kv_pool)
             pool_ref[0] = pooled
             idx_ref[0] = idx
@@ -336,15 +361,18 @@ def _chain_forward_stash_pallas(x, stage_params, final_w, final_b,
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * n * stage_flops,
-            bytes_accessed=x.size * 4 + b * n * c * 4 + z_bytes + kv_bytes
+            bytes_accessed=x.size * 4 + b * n * c * 4 * n_out_feat
+            + z_bytes + kv_bytes
             + sum(p.size * p.dtype.itemsize for p in flat_params),
             transcendentals=0,
         ),
     )(x, *flat_params)
+    zs = tuple(outs[n_out_feat: n_out_feat + n_stages])
+    if kv_pool and emit_features:
+        return outs[0], zs, outs[-3], outs[-2], outs[-1]
     if kv_pool:
-        return (outs[0], tuple(outs[1:1 + n_stages]),
-                outs[-3], outs[-2], outs[-1])
-    return outs[0], tuple(outs[1:])
+        return zs, outs[-3], outs[-2], outs[-1]
+    return outs[0], zs
 
 
 def _stages_from_z(x_tile, z_list, stage_refs, cdt, eps=1e-6):
@@ -385,12 +413,17 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
     cotangent; the kernel scatters dpool onto its argmax rows and
     broadcasts dsums onto valid rows in VMEM, folding both into g before
     the stage backward (no HBM-side (B, N, C) scatter passes).
+    g=None (kv_pool only — the emit_features=False chain) skips the
+    (B, N, C) cotangent input entirely: the feature output doesn't
+    exist, so the backward seeds purely from the kv scatter instead of
+    reading a 335 MB materialized-zeros tensor from HBM.
     Returns (dx, dstage_params, dfinal_w, dfinal_b) — f32, matching the
     primal pytree structure.
     """
     b, n, d = x.shape
     c = final_w.shape[-1]
     n_stages = len(stage_params)
+    assert g is not None or kv_pool, "g=None needs the kv_pool cotangents"
     grid = (b, n // tile)
 
     flat_params, param_specs = _pack_params(stage_params, final_w,
@@ -411,11 +444,14 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
         kv_inputs = (dpool, kv_idx, dsums)
         kv_specs = [pl.BlockSpec((1, tp, c), lambda bi, ti: (bi, ti, 0),
                                  memory_space=pltpu.VMEM)] * 3
+    g_inputs = () if g is None else (g,)
+    g_specs = [] if g is None else [
+        pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM)]
     in_specs = [
         pl.BlockSpec((1, tile, d), lambda bi, ti: (bi, ti, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                     memory_space=pltpu.VMEM),
+        *g_specs,
         *kv_specs,
         *z_specs,
         *param_specs,
@@ -438,13 +474,14 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
 
     n_z = len(z_inputs)
     n_kv = len(kv_inputs)
+    n_g = len(g_inputs)
 
     def kernel(*refs):
         x_ref = refs[0]
-        g_ref = refs[1]
-        kv_refs = refs[2: 2 + n_kv]
-        z_refs = refs[2 + n_kv: 2 + n_kv + n_z]
-        p0 = 2 + n_kv + n_z
+        g_ref = refs[1] if n_g else None
+        kv_refs = refs[1 + n_g: 1 + n_g + n_kv]
+        z_refs = refs[1 + n_g + n_kv: 1 + n_g + n_kv + n_z]
+        p0 = 1 + n_g + n_kv + n_z
         stage_refs = [refs[p0 + 4 * i: p0 + 4 * (i + 1)]
                       for i in range(n_stages)]
         fw_ref = refs[p0 + 4 * n_stages]
@@ -468,12 +505,15 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
         else:
             hs, xhats, rstds = _recompute_stages(x_ref[0], stage_refs, cdt)
 
-        gout = g_ref[0]                                    # (T, C) f32
         if n_kv:
             dpool_ref, idx_ref, dsums_ref = kv_refs
-            gout = gout + _kv_pool_tile_bwd(
+            gout = _kv_pool_tile_bwd(
                 x_ref[0], dpool_ref[0], idx_ref[0], dsums_ref[0],
-                kv_pool)
+                kv_pool)                                   # (T, C) f32
+            if n_g:
+                gout = gout + g_ref[0]
+        else:
+            gout = g_ref[0]                                # (T, C) f32
         dfb_ref[0] += jnp.sum(gout, axis=0)
         g_cdt = gout.astype(cdt)
         # dfw += h_last^T @ g;  dh = g @ fw^T
@@ -532,13 +572,14 @@ def _chain_backward_pallas(x, stage_params, final_w, final_b, g,
         cost_estimate=pl.CostEstimate(
             # remat: recompute + dw + dx matmuls; stash: dw + dx only.
             flops=(2 if n_z else 3) * b * n * stage_flops,
-            bytes_accessed=(x.size + g.size + x.size) * 4
+            bytes_accessed=(x.size + x.size) * 4
+            + sum(gi.size * 4 for gi in g_inputs)
             + sum(z.size * z.dtype.itemsize for z in z_inputs)
             + sum(k.size * k.dtype.itemsize for k in kv_inputs)
             + 2 * sum(p.size * p.dtype.itemsize for p in flat_params),
             transcendentals=0,
         ),
-    )(x, g, *kv_inputs, *z_inputs, *flat_params)
+    )(x, *g_inputs, *kv_inputs, *z_inputs, *flat_params)
 
     dx = outs[0]
     dstages = []
@@ -557,7 +598,8 @@ def make_differentiable_chain(tile: int = 512,
                               compute_dtype=jnp.bfloat16,
                               interpret: bool = None,
                               backward: str = "remat",
-                              kv_pool: int = 0):
+                              kv_pool: int = 0,
+                              emit_features: bool = True):
     """Build the custom-VJP fused point chain for the given statics.
 
     Returned callable: chain(x, stage_params, final_w, final_b) ->
@@ -582,8 +624,20 @@ def make_differentiable_chain(tile: int = 512,
     forward kernel and their cotangents scattered in the backward kernel
     — all in VMEM, so the pooling costs no extra (B, N, C) HBM passes.
     Tie rule is lowest-index (same as window_max_pool's custom VJP).
+
+    emit_features=False (kv_pool only) changes the signature to
+    chain(...) -> (pooled_kv, kv_sums): the (B, N, C) per-point features
+    are never written to HBM at all — forward skips the output and
+    backward seeds purely from the kv cotangent scatter, instead of
+    JAX materializing a (B, N, C) ZEROS cotangent for an output nobody
+    reads (at the B=64 recipe that dead tensor was a 0.5 ms 335 MB HBM
+    broadcast + an equal read back in the kernel, ROADMAP #27).  This is
+    the query-decoder training path, where the decoder consumes only the
+    pooled KV tokens.
     """
     assert backward in ("remat", "stash"), backward
+    assert emit_features or kv_pool > 1, \
+        "emit_features=False requires kv_pool > 1"
     cdt = jnp.dtype(compute_dtype).type
 
     def _resolve_interpret():
@@ -615,6 +669,42 @@ def make_differentiable_chain(tile: int = 512,
 
         chain.defvjp(chain_fwd, chain_bwd)
         return chain
+
+    if not emit_features:
+        @jax.custom_vjp
+        def chain_kv_slim(x, stage_params, final_w, final_b):
+            pooled, _idx, sums = _chain_forward_pallas(
+                x, stage_params, final_w, final_b,
+                tile=tile, cdt=cdt, interpret=_resolve_interpret(),
+                kv_pool=kv_pool, emit_features=False)
+            return pooled, sums
+
+        def chain_kv_slim_fwd(x, stage_params, final_w, final_b):
+            if backward == "stash":
+                zs, pooled, idx, sums = _chain_forward_stash_pallas(
+                    x, stage_params, final_w, final_b,
+                    tile=tile, cdt=cdt, interpret=_resolve_interpret(),
+                    kv_pool=kv_pool, emit_features=False)
+            else:
+                pooled, idx, sums = _chain_forward_pallas(
+                    x, stage_params, final_w, final_b,
+                    tile=tile, cdt=cdt, interpret=_resolve_interpret(),
+                    kv_pool=kv_pool, emit_features=False)
+                zs = None
+            return ((pooled, sums),
+                    (x, stage_params, final_w, final_b, zs, idx))
+
+        def chain_kv_slim_bwd(residuals, gs):
+            x, stage_params, final_w, final_b, zs, idx = residuals
+            dpool, dsums = gs
+            return _chain_backward_pallas(
+                x, stage_params, final_w, final_b, None,
+                tile=tile, cdt=cdt, interpret=_resolve_interpret(),
+                zs=zs, kv_pool=kv_pool, dpool=dpool, kv_idx=idx,
+                dsums=dsums)
+
+        chain_kv_slim.defvjp(chain_kv_slim_fwd, chain_kv_slim_bwd)
+        return chain_kv_slim
 
     @jax.custom_vjp
     def chain_kv(x, stage_params, final_w, final_b):
