@@ -46,6 +46,13 @@ def parse_args(argv=None):
                         "path; counters match the legacy path")
     p.add_argument("--eval-batch", type=int, default=64,
                    help="device batch for --pipelined (default 64)")
+    p.add_argument("--qmax", type=int, default=128,
+                   help="--pipelined pad for kept predicted edges per "
+                        "sample (overflow falls back to the host decode)")
+    p.add_argument("--emax", type=int, default=64,
+                   help="--pipelined pad for GT edges per sample "
+                        "(overflow falls back to the legacy device "
+                        "Hausdorff helper)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="KEY=VALUE")
     return p.parse_args(argv)
@@ -105,14 +112,22 @@ def main(argv=None):
             cfg, payload["params"], dataset, n_shards=args.sharded,
             device_hausdorff=args.device_hausdorff, verbose=True,
             pipelined=args.pipelined,
-            pipeline_kwargs={"batch": args.eval_batch})
+            pipeline_kwargs={"batch": args.eval_batch,
+                             "qmax": args.qmax, "emax": args.emax})
     elif args.pipelined:
         from wireframe_tpu.eval.pipeline import evaluate_corpus_pipelined
 
         if args.raw_points:
             raise SystemExit("--pipelined does not support --raw-points")
+        stats = {}
         evaluate_corpus_pipelined(cfg, payload["params"], dataset,
-                                  batch=args.eval_batch, verbose=True)
+                                  batch=args.eval_batch, qmax=args.qmax,
+                                  emax=args.emax, verbose=True,
+                                  stats=stats)
+        if stats.get("qmax_overflows") or stats.get("emax_overflows"):
+            print(f"pipeline pad overflows (host-helper fallbacks): "
+                  f"qmax={stats['qmax_overflows']} "
+                  f"emax={stats['emax_overflows']}")
     else:
         evaluate_model(cfg, payload["params"], dataset,
                        raw_points=args.raw_points,

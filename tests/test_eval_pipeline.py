@@ -165,6 +165,42 @@ def test_pipelined_qmax_overflow_falls_back(setup):
     assert stats["qmax_overflows"] >= 1
 
 
+def test_pipelined_emax_overflow_falls_back(setup):
+    """A sample with more GT edges than the fixed emax pad must not be
+    fatal: its distances come from the legacy device helper instead, so
+    counters still match the legacy run exactly."""
+    import copy
+
+    from wireframe_tpu.eval.pipeline import evaluate_corpus_pipelined
+
+    cfg, params = setup
+    cfg = copy.deepcopy(cfg)
+    ds = Building3DDataset(cfg.data, "test")
+    legacy = evaluate_model(cfg, params, ds, verbose=False,
+                            device_hausdorff=True)
+    stats = {}
+    fast = evaluate_corpus_pipelined(
+        cfg, params, ds, batch=cfg.eval.batch_size, qmax=16, emax=2,
+        stats=stats)
+    for k in _exact_counter_keys():
+        assert fast[k] == legacy[k], (k, fast[k], legacy[k])
+    # The synthetic buildings have >2 GT edges, so every sample overflows.
+    assert stats["emax_overflows"] == len(ds)
+
+
+def test_pipelined_sharded_rejects_forward_fn(setup):
+    """pipelined=True compiles its own fused program; a caller-supplied
+    forward_fn cannot be honored and must raise, not be dropped."""
+    from wireframe_tpu.eval.distributed import evaluate_model_sharded
+
+    cfg, params = setup
+    ds = Building3DDataset(cfg.data, "test")
+    with pytest.raises(ValueError, match="forward_fn"):
+        evaluate_model_sharded(cfg, params, ds, n_shards=2,
+                               pipelined=True,
+                               forward_fn=lambda p, c, t: None)
+
+
 def test_pipelined_sharded_equals_plain(setup):
     """Sharded pipelined eval merges to the same counters as the plain
     pipelined run (both ride one compiled program at one batch shape)."""

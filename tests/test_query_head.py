@@ -412,3 +412,32 @@ def test_fused_cross_kv_matches_per_layer_layout():
         np.testing.assert_allclose(np.asarray(fused[key]),
                                    np.asarray(base[key]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fused_cross_kv_applies_attention_dropout():
+    """The fused cross-attention branch must keep the flax path's
+    attention-weight dropout (the fused layout is a perf lever, not a
+    silent regularization change).  Captured intermediates of the named
+    cross_drop module prove weights are actually dropped in train mode
+    and untouched in eval."""
+    cfg = small_query_cfg()
+    cfg.model.decoder_fused_cross_kv = True
+    cfg.model.decoder_dropout = 0.5
+    model, params, x = init_model(cfg)
+
+    is_cross_drop = lambda mdl, _name: mdl.name == "cross_drop"
+    _, state = model.apply({"params": params}, x, None, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(0)},
+                           capture_intermediates=is_cross_drop)
+    vals = [np.asarray(v) for v in
+            jax.tree_util.tree_leaves(state["intermediates"])]
+    assert len(vals) == cfg.model.decoder_layers
+    # Rate-0.5 dropout zeroes ~half the attention weights (softmax
+    # weights are almost surely nonzero before the mask).
+    frac_zero = np.mean([np.mean(v == 0.0) for v in vals])
+    assert 0.3 < frac_zero < 0.7, frac_zero
+    # Eval mode: the weights pass through untouched (rows still sum to 1).
+    _, state = model.apply({"params": params}, x, None, train=False,
+                           capture_intermediates=is_cross_drop)
+    for v in jax.tree_util.tree_leaves(state["intermediates"]):
+        np.testing.assert_allclose(np.asarray(v).sum(-1), 1.0, rtol=1e-3)

@@ -103,6 +103,9 @@ def main(argv=None) -> int:
 
     if args.probe:
         bucket, b = (int(t) for t in args.probe.split(","))
+        if args.probe_iters < 2:
+            raise SystemExit("--probe-iters must be >= 2 (trimmed "
+                             "percentiles need at least one survivor)")
         xs = [jax.device_put(jnp.asarray(
             r.normal(size=(b, bucket, cfg.model.input_dim))
             .astype(np.float32))) for _ in range(4)]
@@ -124,7 +127,9 @@ def main(argv=None) -> int:
         total = np.array([x[2] for x in recs]) * 1e3
         med = float(np.median(total))
         out_idx = [int(i) for i in np.nonzero(total > 3 * med)[0]]
-        n_trim = max(1, int(np.ceil(len(total) * 0.01)))
+        # Keep at least one survivor after trimming (tiny --probe-iters).
+        n_trim = min(max(1, int(np.ceil(len(total) * 0.01))),
+                     len(total) - 1)
         trimmed = np.sort(total)[:-n_trim]
         report = {
             "metric": "serving_latency_probe",

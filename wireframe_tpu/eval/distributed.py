@@ -125,9 +125,17 @@ def evaluate_model_sharded(cfg, params, dataset,
     pipeline (eval/pipeline.py) — ONE compiled program shared by all
     shards, dispatch-ahead readback — instead of the legacy small-batch
     path (r3 VERDICT #1: the legacy sharded path was slower than plain).
+    The pipeline builds its own fused forward+Hausdorff program, so
+    `forward_fn` cannot be honored there (passing one raises) and
+    `device_hausdorff` is moot — distances always come from the device.
     """
     from wireframe_tpu.eval.evaluator import evaluate_model
 
+    if pipelined and forward_fn is not None:
+        raise ValueError(
+            "pipelined=True compiles its own fused forward+Hausdorff "
+            "program (eval/pipeline.py) and cannot run a caller-supplied "
+            "forward_fn; drop forward_fn or use pipelined=False")
     if n_shards is None:
         n_shards = jax.process_count()
     shards = [host_shard_indices(len(dataset), s, n_shards)

@@ -46,6 +46,7 @@ import numpy as np
 
 from wireframe_tpu.config import Config
 from wireframe_tpu.data.building3d import Building3DDataset, edge_endpoint_array
+from wireframe_tpu.eval.evaluator import _corner_set
 from wireframe_tpu.metrics.ap_calculator import APCalculator
 from wireframe_tpu.metrics.hausdorff import hausdorff_distance_line_jax
 from wireframe_tpu.ops.pairs import triu_pairs, triu_pairs_np
@@ -123,7 +124,11 @@ def _build_chunk(cfg: Config, dataset: Building3DDataset,
     """Host inputs for one chunk: padded cloud batch + padded GT edge
     endpoints + the ragged GT the accumulator needs.  Per-sample rng is
     keyed (seed, index) exactly like evaluate_model, so counters match
-    the legacy path bit-for-bit."""
+    the legacy path bit-for-bit.  Samples with more GT edges than `emax`
+    can't ride the fixed-shape device Hausdorff — they're flagged in the
+    returned `em_over` set and their distances come from the same device
+    helper the legacy path uses (no fatal error; mirrors the qmax
+    overflow fallback)."""
     samples = [dataset.get_sample(i, rng=np.random.default_rng(
         (cfg.data.seed, i)), augment_on_host=False) for i in chunk]
     n_real = len(samples)
@@ -131,17 +136,18 @@ def _build_chunk(cfg: Config, dataset: Building3DDataset,
         samples.append(samples[-1])
     clouds = np.stack([s["point_clouds"] for s in samples])
     gt = []
+    em_over = set()
     gt_ev_pad = np.zeros((batch, emax, 2, 3), np.float32)
     for j, s in enumerate(samples[:n_real]):
         gv = s["wf_vertices"]
         ge = s["wf_edges"].astype(np.int64)
         gev = edge_endpoint_array(np.asarray(gv, np.float64), ge)
         if len(ge) > emax:
-            raise ValueError(
-                f"sample has {len(ge)} GT edges > emax={emax}; raise emax")
-        gt_ev_pad[j, :len(ge)] = gev
+            em_over.add(j)
+        else:
+            gt_ev_pad[j, :len(ge)] = gev
         gt.append((gv, ge, gev))
-    return samples[:n_real], clouds, gt_ev_pad, gt
+    return samples[:n_real], clouds, gt_ev_pad, gt, em_over
 
 
 def evaluate_corpus_pipelined(
@@ -156,7 +162,9 @@ def evaluate_corpus_pipelined(
     Pass `eval_step` (from make_eval_step with the same shapes) to share
     the compiled program across calls (the sharded path reuses one
     program for every shard).  `stats`, if given, is filled with
-    {"qmax_overflows": int} — samples that fell back to the host path.
+    {"qmax_overflows": int, "emax_overflows": int} — samples whose
+    kept-pair / GT-edge count exceeded the fixed pads and fell back to
+    the legacy helpers (still bit-identical, just off the fused program).
     """
     if ap is None:
         ap = APCalculator(distance_thresh=cfg.eval.distance_thresh,
@@ -166,13 +174,14 @@ def evaluate_corpus_pipelined(
     v = cfg.model.max_vertices
     pair_table = triu_pairs_np(v)
     idxs = list(range(len(dataset))) if indices is None else list(indices)
-    overflows = 0
+    q_overflows = 0
+    e_overflows = 0
 
     inflight = deque()
 
     def drain_one():
-        nonlocal overflows
-        chunk_samples, gt, out_dev = inflight.popleft()
+        nonlocal q_overflows, e_overflows
+        chunk_samples, gt, em_over, out_dev = inflight.popleft()
         out = jax.device_get(out_dev)
         for j in range(len(chunk_samples)):
             gv, ge, gev = gt[j]
@@ -185,7 +194,7 @@ def evaluate_corpus_pipelined(
                 # Rare overflow (more kept pairs than the fixed pad):
                 # legacy host decode + the same device Hausdorff helper
                 # the legacy path uses, so counters stay bit-identical.
-                overflows += 1
+                q_overflows += 1
                 from wireframe_tpu.eval.distributed import (
                     batched_edge_distances,
                 )
@@ -206,14 +215,25 @@ def evaluate_corpus_pipelined(
                 # legacy decode's edge_endpoint_array construction.
                 pd_ev = edge_endpoint_array(
                     np.asarray(slot_verts, np.float64), pd_edges)
-                dist = (np.asarray(out["dist"][j][:n, :len(ge)],
-                                   np.float64) if n else None)
-            corners = (slot_verts[live]
-                       if cfg.eval.live_corner_filter and live is not None
-                       else slot_verts)
+                if j in em_over:
+                    # GT edges overflowed the fixed pad: the device
+                    # matrix row was computed against zero padding, so
+                    # recompute this sample through the same device
+                    # helper the legacy path uses (bit-identical).
+                    e_overflows += 1
+                    from wireframe_tpu.eval.distributed import (
+                        batched_edge_distances,
+                    )
+
+                    dist = (batched_edge_distances([pd_ev], [gev])[0]
+                            if n else None)
+                else:
+                    dist = (np.asarray(out["dist"][j][:n, :len(ge)],
+                                       np.float64) if n else None)
+            corners = _corner_set(cfg, slot_verts, live)
             # Dtypes mirror compute_metrics' conversions exactly (GT
             # vertices stay f32 — upcasting here changes WED rounding).
-            ap._accumulate_sample(
+            ap.accumulate_sample(
                 np.asarray(corners).reshape(-1, 3),
                 pd_edges.reshape(-1, 2),
                 np.asarray(pd_ev).reshape(-1, 2, 3),
@@ -221,20 +241,20 @@ def evaluate_corpus_pipelined(
                 np.asarray(ge).reshape(-1, 2),
                 gev.reshape(-1, 2, 3),
                 edge_distance=dist)
-            ap.num_samples += 1
 
     for k in range(0, len(idxs), batch):
         chunk = idxs[k:k + batch]
-        chunk_samples, clouds, gt_ev_pad, gt = _build_chunk(
+        chunk_samples, clouds, gt_ev_pad, gt, em_over = _build_chunk(
             cfg, dataset, chunk, batch, emax)
         out_dev = eval_step(params, jnp.asarray(clouds),
                             jnp.asarray(gt_ev_pad))
-        inflight.append((chunk_samples, gt, out_dev))
+        inflight.append((chunk_samples, gt, em_over, out_dev))
         while len(inflight) > window:
             drain_one()
     while inflight:
         drain_one()
 
     if stats is not None:
-        stats["qmax_overflows"] = overflows
+        stats["qmax_overflows"] = q_overflows
+        stats["emax_overflows"] = e_overflows
     return ap.output_accuracy() if verbose else ap.summarize()

@@ -74,7 +74,7 @@ class APCalculator:
         batch_size = len(batch["predicted_vertices"])
         precomputed = batch.get("edge_distance")
         for b in range(batch_size):
-            self._accumulate_sample(
+            self.accumulate_sample(
                 np.asarray(batch["predicted_vertices"][b]).reshape(-1, 3),
                 np.asarray(batch["predicted_edges"][b]).reshape(-1, 2),
                 np.asarray(batch["pred_edges_vertices"][b]).reshape(-1, 2, 3),
@@ -84,7 +84,18 @@ class APCalculator:
                 edge_distance=(None if precomputed is None
                                else precomputed[b]),
             )
-            self.num_samples += 1
+
+    def accumulate_sample(self, predicted_corners, predicted_edges,
+                          pred_edges_vertices, label_corners, label_edges,
+                          label_edges_vertices, edge_distance=None) -> None:
+        """Accumulate ONE sample's counters (and its num_samples tick) —
+        the single entry point both compute_metrics and the fused eval
+        pipeline use, so the bookkeeping cannot desynchronize."""
+        self._accumulate_sample(
+            predicted_corners, predicted_edges, pred_edges_vertices,
+            label_corners, label_edges, label_edges_vertices,
+            edge_distance=edge_distance)
+        self.num_samples += 1
 
     def merge_counters(self, others) -> "APCalculator":
         """Fold other calculators' raw counters into this one (pod-scale

@@ -69,6 +69,12 @@ class DecoderBlock(nn.Module):
                                    jnp.finfo(logits.dtype).min)
             w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             w = w.astype(self.dtype)
+            # Same attention-weight dropout the flax path applies
+            # (MultiHeadDotProductAttention drops softmax weights with
+            # inverted scaling) — the fused layout must not silently
+            # change training regularization.
+            w = nn.Dropout(self.dropout, deterministic=deterministic,
+                           name="cross_drop")(w)
             ctx = jnp.einsum("bhvn,bnhd->bvhd", w, v_i)
             h = nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
                                 name="cross_out")(ctx)
