@@ -40,6 +40,10 @@ def main(argv=None) -> int:
                         "the fused pipeline (eval/pipeline.py)")
     p.add_argument("--eval-batch", type=int, default=64,
                    help="device batch for the fused pipeline")
+    p.add_argument("--reps", type=int, default=2,
+                   help="timed passes per path; rep 0 absorbs residual "
+                        "first-pass host jits, the LAST rep is the "
+                        "headline (both paths warm)")
     args = p.parse_args(argv)
 
     from wireframe_tpu.utils.platform import (
@@ -97,43 +101,78 @@ def main(argv=None) -> int:
         warm_gt = np.zeros((args.eval_batch, 64, 2, 3), np.float32)
         jax.block_until_ready(pipe_kw["eval_step"](
             payload["params"], warm_clouds, warm_gt))
+    # Warm the dataset's parse cache before EITHER timer: the in-memory
+    # cache (Building3DDataset.load_raw) otherwise charges every cold
+    # .xyz/.obj parse to whichever path runs first — round-4's first cut
+    # blamed 55 s of host parsing on the sharded path.  Parse time is
+    # reported on its own line instead.
     t0 = time.perf_counter()
-    sharded = evaluate_model_sharded(cfg, payload["params"], dataset,
+    for i in range(len(dataset)):
+        dataset.load_raw(i)
+    t_parse = time.perf_counter() - t0
+
+    def run_sharded():
+        t0 = time.perf_counter()
+        out = evaluate_model_sharded(cfg, payload["params"], dataset,
                                      n_shards=args.shards,
                                      device_hausdorff=True,
                                      pipelined=not args.legacy,
                                      pipeline_kwargs=pipe_kw)
-    t_sharded = time.perf_counter() - t0
+        return out, time.perf_counter() - t0
 
-    report = {
-        "n_buildings": len(dataset),
-        "shards": args.shards,
-        "pipelined": not args.legacy,
-        "device": str(jax.devices()[0]),
-        "sharded_s": round(t_sharded, 1),
-        "sharded_buildings_per_sec": round(len(dataset) / t_sharded, 2),
-        "metrics": {k: round(v, 6) for k, v in sharded.items()},
-    }
+    q_overflows = None
 
-    if not args.skip_unsharded:
+    def run_plain():
+        nonlocal q_overflows
         t0 = time.perf_counter()
         if args.legacy:
-            plain = evaluate_model(cfg, payload["params"], dataset,
-                                   verbose=False, device_hausdorff=True)
+            out = evaluate_model(cfg, payload["params"], dataset,
+                                 verbose=False, device_hausdorff=True)
         else:
             from wireframe_tpu.eval.pipeline import (
                 evaluate_corpus_pipelined,
             )
 
             stats = {}
-            plain = evaluate_corpus_pipelined(cfg, payload["params"],
-                                              dataset, stats=stats,
-                                              **pipe_kw)
-            report["qmax_overflows"] = stats["qmax_overflows"]
-        t_plain = time.perf_counter() - t0
-        report["unsharded_s"] = round(t_plain, 1)
+            out = evaluate_corpus_pipelined(cfg, payload["params"],
+                                            dataset, stats=stats,
+                                            **pipe_kw)
+            q_overflows = stats["qmax_overflows"]
+        return out, time.perf_counter() - t0
+
+    # Timed reps, sharded/plain interleaved.  Rep 0 absorbs the residual
+    # first-pass host jits (device-Hausdorff helpers, APCalculator
+    # accumulation paths — everything the eval_step warm-up above can't
+    # reach); the LAST rep is the headline, with both paths equally warm.
+    # Round-4's first cut timed only one pass per path and blamed ~86 s
+    # of those one-time costs on whichever ran first.
+    sharded_s, plain_s = [], []
+    for _ in range(max(1, args.reps)):
+        sharded, t = run_sharded()
+        sharded_s.append(round(t, 1))
+        if not args.skip_unsharded:
+            plain, t = run_plain()
+            plain_s.append(round(t, 1))
+
+    report = {
+        "n_buildings": len(dataset),
+        "shards": args.shards,
+        "pipelined": not args.legacy,
+        "device": str(jax.devices()[0]),
+        "parse_s": round(t_parse, 1),
+        "reps_sharded_s": sharded_s,
+        "sharded_s": sharded_s[-1],
+        "sharded_buildings_per_sec": round(len(dataset) / sharded_s[-1], 2),
+        "metrics": {k: round(v, 6) for k, v in sharded.items()},
+    }
+    if q_overflows is not None:
+        report["qmax_overflows"] = q_overflows
+
+    if not args.skip_unsharded:
+        report["reps_unsharded_s"] = plain_s
+        report["unsharded_s"] = plain_s[-1]
         report["unsharded_buildings_per_sec"] = round(
-            len(dataset) / t_plain, 2)
+            len(dataset) / plain_s[-1], 2)
         # Integer counters must be EXACT; float accumulators may differ
         # by reduction order (host sum over a different shard grouping),
         # so compare those to 1e-9 relative.

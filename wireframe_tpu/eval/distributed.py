@@ -151,20 +151,36 @@ def evaluate_model_sharded(cfg, params, dataset,
             kw["eval_step"] = make_eval_step(
                 cfg, kw.get("qmax", 128), kw.get("emax", 64),
                 kw.get("batch", 64))
-    calcs = []
-    for idxs in shards:
-        if not idxs:
-            continue
-        ap = APCalculator(distance_thresh=cfg.eval.distance_thresh,
-                          confidence_thresh=cfg.eval.edge_confidence_thresh)
-        if pipelined:
-            evaluate_corpus_pipelined(cfg, params, dataset, indices=idxs,
-                                      ap=ap, **kw)
-        else:
+        # ONE pipelined pass over every shard's samples, routing each
+        # sample to its shard's calculator.  Processing shards as
+        # separate pipeline calls would serialize build -> dispatch ->
+        # drain per shard (a 500-building/8-shard run is one chunk per
+        # shard: zero dispatch-ahead overlap, every tunnel round trip
+        # exposed); one pass keeps the full `window` overlap.  Per-shard
+        # counters stay bit-identical to per-shard passes: within a
+        # shard samples still accumulate in ascending index order.
+        aps = {s: APCalculator(
+            distance_thresh=cfg.eval.distance_thresh,
+            confidence_thresh=cfg.eval.edge_confidence_thresh)
+            for s, idxs in enumerate(shards) if idxs}
+        evaluate_corpus_pipelined(
+            cfg, params, dataset,
+            indices=[i for i in range(len(dataset))
+                     if (i % n_shards) in aps],
+            ap_router=lambda i: aps[i % n_shards], **kw)
+        calcs = [aps[s] for s in sorted(aps)]
+    else:
+        calcs = []
+        for idxs in shards:
+            if not idxs:
+                continue
+            ap = APCalculator(
+                distance_thresh=cfg.eval.distance_thresh,
+                confidence_thresh=cfg.eval.edge_confidence_thresh)
             evaluate_model(cfg, params, dataset, forward_fn=forward_fn,
                            indices=idxs, verbose=False,
                            device_hausdorff=device_hausdorff, ap=ap)
-        calcs.append(ap)
+            calcs.append(ap)
     merged = calcs[0].merge_counters(calcs[1:])
     merged = gather_merge(merged)
     return merged.output_accuracy() if verbose else merged.summarize()

@@ -156,7 +156,8 @@ def evaluate_corpus_pipelined(
         batch: int = 64, qmax: int = 128, emax: int = 64,
         window: int = 3, ap: Optional[APCalculator] = None,
         eval_step=None, verbose: bool = False,
-        stats: Optional[dict] = None) -> Dict[str, float]:
+        stats: Optional[dict] = None,
+        ap_router=None) -> Optional[Dict[str, float]]:
     """Corpus eval through the fused fixed-shape pipeline.
 
     Pass `eval_step` (from make_eval_step with the same shapes) to share
@@ -165,8 +166,17 @@ def evaluate_corpus_pipelined(
     {"qmax_overflows": int, "emax_overflows": int} — samples whose
     kept-pair / GT-edge count exceeded the fixed pads and fell back to
     the legacy helpers (still bit-identical, just off the fused program).
+
+    `ap_router` (callable: dataset index -> APCalculator) accumulates
+    each sample into a caller-chosen calculator instead of `ap` — the
+    single-process sharded path streams ALL shards through ONE pass
+    (full dispatch-ahead overlap, one compiled program) while keeping
+    per-shard counters bit-identical to processing each shard alone
+    (within a shard, samples still accumulate in ascending index
+    order).  With ap_router the caller owns the calculators: returns
+    None.
     """
-    if ap is None:
+    if ap is None and ap_router is None:
         ap = APCalculator(distance_thresh=cfg.eval.distance_thresh,
                           confidence_thresh=cfg.eval.edge_confidence_thresh)
     if eval_step is None:
@@ -181,7 +191,7 @@ def evaluate_corpus_pipelined(
 
     def drain_one():
         nonlocal q_overflows, e_overflows
-        chunk_samples, gt, em_over, out_dev = inflight.popleft()
+        chunk_samples, gt, em_over, chunk_idx, out_dev = inflight.popleft()
         out = jax.device_get(out_dev)
         for j in range(len(chunk_samples)):
             gv, ge, gev = gt[j]
@@ -231,9 +241,10 @@ def evaluate_corpus_pipelined(
                     dist = (np.asarray(out["dist"][j][:n, :len(ge)],
                                        np.float64) if n else None)
             corners = _corner_set(cfg, slot_verts, live)
+            tgt = ap_router(chunk_idx[j]) if ap_router is not None else ap
             # Dtypes mirror compute_metrics' conversions exactly (GT
             # vertices stay f32 — upcasting here changes WED rounding).
-            ap.accumulate_sample(
+            tgt.accumulate_sample(
                 np.asarray(corners).reshape(-1, 3),
                 pd_edges.reshape(-1, 2),
                 np.asarray(pd_ev).reshape(-1, 2, 3),
@@ -248,7 +259,7 @@ def evaluate_corpus_pipelined(
             cfg, dataset, chunk, batch, emax)
         out_dev = eval_step(params, jnp.asarray(clouds),
                             jnp.asarray(gt_ev_pad))
-        inflight.append((chunk_samples, gt, em_over, out_dev))
+        inflight.append((chunk_samples, gt, em_over, chunk, out_dev))
         while len(inflight) > window:
             drain_one()
     while inflight:
@@ -257,4 +268,6 @@ def evaluate_corpus_pipelined(
     if stats is not None:
         stats["qmax_overflows"] = q_overflows
         stats["emax_overflows"] = e_overflows
+    if ap_router is not None:
+        return None
     return ap.output_accuracy() if verbose else ap.summarize()
