@@ -9,9 +9,12 @@ test can run without the real corpus — and so a large pretraining corpus
 can be produced on demand (QUALITY.md round-4 synthetic-pretrain study).
 
 Building families (per block): flat, shed, gable, hip, pyramid roofs on
-rectangular footprints; a building is 1-3 adjacent blocks with random
-sizes/heights plus a random whole-building z-rotation, giving 4-18
-wireframe vertices per building (the real Tallinn corpus spans 4-38).
+rectangular footprints, plus two CONNECTED-topology families — a
+cross-gable whose wing ridge tees into the main roof plane (junction
+vertex + two valley edges) and an M-roof (parallel gables, center
+valley).  A building is 1-3 adjacent blocks with random sizes/heights
+plus a random whole-building z-rotation, giving 4-36 wireframe vertices
+per building (the real Tallinn corpus spans 4-38).
 Clouds get planar roof/gable-end surface points with Gaussian sensor
 noise, UTM-magnitude coordinates, RGBA in [0,255] and raw ~46-48k
 intensity — matching the measured statistics of the real corpus
@@ -102,7 +105,79 @@ def _roof_pyramid(rng, w, d):
     return verts, edges, tris
 
 
-_FAMILIES = (_roof_flat, _roof_shed, _roof_gable, _roof_hip, _roof_pyramid)
+def _roof_tee_gable(rng, w, d):
+    """Cross-gable: a perpendicular wing tees into the main roof plane.
+
+    This is the one family whose topology is NOT block-local: the wing's
+    ridge penetrates the main north roof plane at a junction vertex, and
+    two VALLEY edges run from the wing's eave corners up to it — the
+    ridge-junction/valley motif the real Tallinn compounds have and the
+    round-4 pretrain study found missing from the synthetic distribution
+    (QUALITY.md: "pretraining transfers geometry, not topology").
+    """
+    h = rng.uniform(3, 8)
+    hr = h + rng.uniform(1.5, 4)            # main ridge height
+    hrb = h + rng.uniform(0.8, 1.0) * (hr - h - 0.3)  # wing ridge < main
+    wb = rng.uniform(0.25, 0.45) * w        # wing width
+    xb = rng.uniform(0.1, 0.9) * (w - wb)   # wing attach offset
+    db = rng.uniform(0.4, 1.0) * d          # wing length (extends +y)
+    # Wing ridge (height hrb) meets the main north plane
+    # z = hr - (y - d/2) * 2 (hr - h) / d at:
+    ys = d / 2 + (hr - hrb) * (d / 2) / (hr - h)
+    verts = np.array([
+        [0, 0, h], [w, 0, h], [w, d, h], [0, d, h],      # main eaves
+        [0, d / 2, hr], [w, d / 2, hr],                  # main ridge ends
+        [xb, d, h], [xb + wb, d, h],                     # valley feet
+        [xb, d + db, h], [xb + wb, d + db, h],           # wing eaves
+        [xb + wb / 2, d + db, hrb],                      # wing gable ridge
+        [xb + wb / 2, ys, hrb],                          # junction on plane
+    ])
+    edges = [[0, 1], [1, 2], [3, 0],                     # main eave loop
+             [3, 6], [7, 2],                             # north eave splits
+             [0, 4], [3, 4], [1, 5], [2, 5],             # main gable rafters
+             [4, 5],                                     # main ridge
+             [6, 8], [7, 9], [8, 9],                     # wing eaves
+             [8, 10], [9, 10],                           # wing gable rafters
+             [10, 11],                                   # wing ridge
+             [6, 11], [7, 11]]                           # VALLEYS
+    tris = [[0, 1, 5], [0, 5, 4],                        # main south plane
+            [11, 3, 6], [11, 7, 2], [11, 2, 5],          # main north plane,
+            [11, 5, 4], [11, 4, 3],                      # fan around junction
+            [6, 8, 10], [6, 10, 11],                     # wing west plane
+            [7, 9, 10], [7, 10, 11],                     # wing east plane
+            [8, 9, 10],                                  # wing gable-end wall
+            [0, 4, 3], [1, 2, 5]]                        # main gable walls
+    return verts, edges, tris
+
+
+def _roof_m(rng, w, d):
+    """M-roof: two parallel gables over one footprint, center VALLEY."""
+    h = rng.uniform(3, 8)
+    hr = h + rng.uniform(1.5, 4)
+    hv = h + rng.uniform(0.1, 0.5) * (hr - h)   # valley above the eave
+    x1, xv, x2 = w / 4, w / 2, 3 * w / 4
+    verts = np.array([
+        [0, 0, h], [w, 0, h], [w, d, h], [0, d, h],      # eave corners
+        [x1, 0, hr], [x1, d, hr],                        # ridge 1 ends
+        [x2, 0, hr], [x2, d, hr],                        # ridge 2 ends
+        [xv, 0, hv], [xv, d, hv],                        # valley ends
+    ])
+    edges = [[0, 1], [1, 2], [2, 3], [3, 0],             # eave loop
+             [0, 4], [3, 5], [1, 6], [2, 7],             # outer rafters
+             [4, 8], [5, 9], [6, 8], [7, 9],             # inner rafters
+             [4, 5], [6, 7],                             # ridges
+             [8, 9]]                                     # VALLEY
+    tris = [[0, 4, 5], [0, 5, 3],                        # west plane
+            [4, 8, 9], [4, 9, 5],                        # inner-west plane
+            [8, 6, 7], [8, 7, 9],                        # inner-east plane
+            [6, 1, 2], [6, 2, 7],                        # east plane
+            [0, 4, 8], [0, 8, 6], [0, 6, 1],             # front end wall
+            [3, 5, 9], [3, 9, 7], [3, 7, 2]]             # back end wall
+    return verts, edges, tris
+
+
+_FAMILIES = (_roof_flat, _roof_shed, _roof_gable, _roof_hip, _roof_pyramid,
+             _roof_tee_gable, _roof_m)
 
 
 def _sample_faces(rng, verts, tris, n_pts):
