@@ -217,6 +217,24 @@ def test_pipelined_sharded_equals_plain(setup):
         assert sharded[k] == plain[k], (k, sharded[k], plain[k])
 
 
+def test_pipelined_sharded_empty_shards(setup):
+    """More shards than samples: the single-pass router must skip empty
+    shards (no empty APCalculator in the merge) and still match plain —
+    the production shard count (8) with a tiny corpus hits this."""
+    from wireframe_tpu.eval.distributed import evaluate_model_sharded
+    from wireframe_tpu.eval.pipeline import evaluate_corpus_pipelined
+
+    cfg, params = setup
+    ds = Building3DDataset(cfg.data, "test")
+    assert len(ds) < 8
+    kw = dict(batch=cfg.eval.batch_size, qmax=16, emax=16)
+    plain = evaluate_corpus_pipelined(cfg, params, ds, **kw)
+    sharded = evaluate_model_sharded(cfg, params, ds, n_shards=8,
+                                     pipelined=True, pipeline_kwargs=kw)
+    for k in _exact_counter_keys():
+        assert sharded[k] == plain[k], (k, sharded[k], plain[k])
+
+
 def test_decode_predictions_threshold(rng):
     from wireframe_tpu.ops.pairs import num_pairs
 
