@@ -171,8 +171,12 @@ def _roof_m(rng, w, d):
             [4, 8, 9], [4, 9, 5],                        # inner-west plane
             [8, 6, 7], [8, 7, 9],                        # inner-east plane
             [6, 1, 2], [6, 2, 7],                        # east plane
-            [0, 4, 8], [0, 8, 6], [0, 6, 1],             # front end wall
-            [3, 5, 9], [3, 9, 7], [3, 7, 2]]             # back end wall
+            # End walls fan from the VALLEY vertex: the M profile
+            # 0-4-8-6-1 is reflex at the valley, so a fan from an eave
+            # corner is invalid — its middle triangle inverts and covers
+            # the wedge ABOVE the valley (off-surface points in the sky).
+            [8, 0, 4], [8, 1, 0], [8, 6, 1],             # front end wall
+            [9, 3, 5], [9, 2, 3], [9, 7, 2]]             # back end wall
     return verts, edges, tris
 
 

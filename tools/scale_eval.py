@@ -149,10 +149,10 @@ def main(argv=None) -> int:
     sharded_s, plain_s = [], []
     for _ in range(max(1, args.reps)):
         sharded, t = run_sharded()
-        sharded_s.append(round(t, 1))
+        sharded_s.append(t)
         if not args.skip_unsharded:
             plain, t = run_plain()
-            plain_s.append(round(t, 1))
+            plain_s.append(t)
 
     report = {
         "n_buildings": len(dataset),
@@ -160,8 +160,8 @@ def main(argv=None) -> int:
         "pipelined": not args.legacy,
         "device": str(jax.devices()[0]),
         "parse_s": round(t_parse, 1),
-        "reps_sharded_s": sharded_s,
-        "sharded_s": sharded_s[-1],
+        "reps_sharded_s": [round(t, 1) for t in sharded_s],
+        "sharded_s": round(sharded_s[-1], 1),
         "sharded_buildings_per_sec": round(len(dataset) / sharded_s[-1], 2),
         "metrics": {k: round(v, 6) for k, v in sharded.items()},
     }
@@ -169,8 +169,8 @@ def main(argv=None) -> int:
         report["qmax_overflows"] = q_overflows
 
     if not args.skip_unsharded:
-        report["reps_unsharded_s"] = plain_s
-        report["unsharded_s"] = plain_s[-1]
+        report["reps_unsharded_s"] = [round(t, 1) for t in plain_s]
+        report["unsharded_s"] = round(plain_s[-1], 1)
         report["unsharded_buildings_per_sec"] = round(
             len(dataset) / plain_s[-1], 2)
         # Integer counters must be EXACT; float accumulators may differ

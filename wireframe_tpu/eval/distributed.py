@@ -165,8 +165,7 @@ def evaluate_model_sharded(cfg, params, dataset,
             for s, idxs in enumerate(shards) if idxs}
         evaluate_corpus_pipelined(
             cfg, params, dataset,
-            indices=[i for i in range(len(dataset))
-                     if (i % n_shards) in aps],
+            indices=sorted(i for idxs in shards for i in idxs),
             ap_router=lambda i: aps[i % n_shards], **kw)
         calcs = [aps[s] for s in sorted(aps)]
     else:
