@@ -18,8 +18,9 @@ Pure numpy — no JAX, no device.
 import numpy as np
 import pytest
 
-from tools.gen_demo_data import (_FAMILIES, _roof_m, _roof_tee_gable,
-                                 _sample_faces, make_building)
+from tools.gen_demo_data import (_FAMILIES, _roof_m, _roof_poly,
+                                 _roof_tee_gable, _sample_faces,
+                                 _triangulate, make_building)
 
 
 def _components(n_verts, edges):
@@ -38,7 +39,8 @@ def _components(n_verts, edges):
     return len({find(v) for v in range(n_verts)})
 
 
-@pytest.mark.parametrize("fam", _FAMILIES, ids=lambda f: f.__name__)
+@pytest.mark.parametrize("fam", _FAMILIES + (_roof_poly,),
+                         ids=lambda f: f.__name__)
 def test_family_wireframe_invariants(fam):
     rng = np.random.default_rng(7)
     for _ in range(5):
@@ -119,10 +121,72 @@ def test_m_roof_end_walls_tile_profile_exactly():
                                               verts[6, 2]])) + 1e-9).all()
 
 
+def test_poly_roof_is_pure_outline_loop():
+    """The polygonal family exists to supply the real corpus's dominant
+    motif: every vertex degree 2, E/V exactly 1, one planar surface."""
+    rng = np.random.default_rng(19)
+    for _ in range(30):
+        verts, edges, tris = _roof_poly(rng, rng.uniform(6, 18),
+                                        rng.uniform(6, 18))
+        edges = np.asarray(edges)
+        deg = np.zeros(len(verts), int)
+        np.add.at(deg, edges[:, 0], 1)
+        np.add.at(deg, edges[:, 1], 1)
+        assert (deg == 2).all()
+        assert len(edges) == len(verts)
+        # All vertices coplanar (one roof plane).
+        a = verts[1] - verts[0]
+        b = verts[2] - verts[0]
+        n = np.cross(a, b)
+        n /= np.linalg.norm(n)
+        assert np.abs((verts - verts[0]) @ n).max() < 1e-8
+        # Triangulation tiles the footprint polygon exactly.
+        poly = verts[:, :2]
+        tri_area = sum(_shoelace(poly[list(t)]) for t in tris)
+        assert tri_area == pytest.approx(_shoelace(poly), rel=1e-9)
+
+
+def test_triangulate_nonconvex_exact_cover():
+    """Ear clipping tiles a reflex rectilinear polygon exactly (a
+    corner fan would invert on these — the M-roof failure mode)."""
+    u_shape = np.array([(0, 0), (10, 0), (10, 8), (7, 8), (7, 3),
+                        (3, 3), (3, 8), (0, 8)], float)
+    for poly in (u_shape, u_shape[::-1]):   # both orientations
+        tris = _triangulate(poly)
+        assert len(tris) == len(poly) - 2
+        total = sum(_shoelace(poly[list(t)]) for t in tris)
+        assert total == pytest.approx(_shoelace(poly), rel=1e-12)
+        assert all(_shoelace(poly[list(t)]) > 1e-9 for t in tris)
+
+
+def test_real_mix_matches_corpus_topology_profile():
+    """make_building(mix='real') approximates the measured real-corpus
+    profile (tools/corpus_stats.py): deg-2 dominant, E/V near 1.15,
+    multi-component compounds, within the 38-vertex budget."""
+    rng = np.random.default_rng(23)
+    degs, comps, vcounts, ev = [], [], [], []
+    for _ in range(150):
+        cloud, verts, edges = make_building(rng, mix="real")
+        v = len(verts)
+        assert 4 <= v <= 38
+        vcounts.append(v)
+        ev.append(len(edges) / v)
+        d = np.zeros(v, int)
+        np.add.at(d, edges[:, 0], 1)
+        np.add.at(d, edges[:, 1], 1)
+        degs.extend(d.tolist())
+        comps.append(_components(v, edges))
+    degs = np.asarray(degs)
+    assert 0.55 <= (degs == 2).mean() <= 0.85   # real: 0.70
+    assert 1.05 <= np.mean(ev) <= 1.30          # real: 1.15
+    assert 1.7 <= np.mean(comps) <= 2.7         # real: 2.28
+    assert 10 <= np.median(vcounts) <= 24       # real: 18
+
+
 def test_make_building_compound_invariants():
     rng = np.random.default_rng(17)
     for _ in range(25):
-        cloud, verts, edges = make_building(rng)
+        cloud, verts, edges = make_building(rng, mix="uniform")
         v = len(verts)
         assert 4 <= v <= 36                  # 3 blocks x 12 max
         assert np.isfinite(cloud).all() and np.isfinite(verts).all()
@@ -133,3 +197,19 @@ def test_make_building_compound_invariants():
         assert cloud.shape[1] == 8
         assert (cloud[:, 3:7] >= 0).all() and (cloud[:, 3:7] <= 255).all()
         assert (cloud[:, 7] >= 46000).all() and (cloud[:, 7] <= 48000).all()
+
+
+def test_corpus_stats_on_generated_corpus(tmp_path):
+    """tools/corpus_stats.py measures a generated corpus end-to-end."""
+    from tools.corpus_stats import corpus_stats
+    from tools.gen_demo_data import main as gen_main
+
+    out = str(tmp_path / "c")
+    assert gen_main(["--out", out, "--train", "4", "--test", "0",
+                     "--seed", "5"]) == 0
+    s = corpus_stats(out, "train")
+    assert s["n_buildings"] == 4
+    assert 4 <= s["v_p50"] <= 38
+    assert s["edges_per_vertex"] > 0.9
+    assert abs(sum(s["deg_pct"].values()) - 100.0) < 1e-6
+    assert s["components_mean"] >= 1.0

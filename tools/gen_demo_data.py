@@ -9,12 +9,22 @@ test can run without the real corpus — and so a large pretraining corpus
 can be produced on demand (QUALITY.md round-4 synthetic-pretrain study).
 
 Building families (per block): flat, shed, gable, hip, pyramid roofs on
-rectangular footprints, plus two CONNECTED-topology families — a
-cross-gable whose wing ridge tees into the main roof plane (junction
-vertex + two valley edges) and an M-roof (parallel gables, center
-valley).  A building is 1-3 adjacent blocks with random sizes/heights
-plus a random whole-building z-rotation, giving 4-36 wireframe vertices
-per building (the real Tallinn corpus spans 4-38).
+rectangular footprints; two CONNECTED-topology families — a cross-gable
+whose wing ridge tees into the main roof plane (junction vertex + two
+valley edges) and an M-roof (parallel gables, center valley); and a
+POLYGONAL-OUTLINE family (L/T/U/Z rectilinear footprints under one
+planar roof — a pure degree-2 eave loop).  A building is 1-4 adjacent
+blocks with random sizes/heights plus a random whole-building
+z-rotation, capped at 38 wireframe vertices (the real Tallinn corpus
+spans 4-38).
+
+Two mixtures (`--mix`): `real` (default) weights families and block
+counts to match the measured topology statistics of the real 43-roof
+corpus — ~70% degree-2 vertices, E/V ~1.15, ~2.2 wireframe components
+per building (tools/corpus_stats.py; the round-4 rectangle-gable
+corpora were inverted at 67-81% degree-3, half the size, E/V ~1.4) —
+and `uniform` reproduces the round-4 corpora exactly (uniform over the
+rectangle families, 1-3 blocks, same RNG stream).
 Clouds get planar roof/gable-end surface points with Gaussian sensor
 noise, UTM-magnitude coordinates, RGBA in [0,255] and raw ~46-48k
 intensity — matching the measured statistics of the real corpus
@@ -180,8 +190,102 @@ def _roof_m(rng, w, d):
     return verts, edges, tris
 
 
+def _triangulate(poly) -> list:
+    """Ear-clip a simple 2D polygon into triangles (vertex indices).
+
+    The rectilinear L/T/U/Z outlines are non-convex, so a fan from one
+    corner is invalid in general (the exact failure mode fixed for the
+    M-roof end walls in 8b6b738); ear clipping handles any simple
+    polygon.  Orientation is normalized to CCW internally; returned
+    indices refer to the input order.
+    """
+    poly = np.asarray(poly, float)
+    idx = list(range(len(poly)))
+    x, y = poly[:, 0], poly[:, 1]
+    if (x @ np.roll(y, -1) - y @ np.roll(x, -1)) < 0:   # CW -> reverse
+        idx.reverse()
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1]) -
+                (a[1] - o[1]) * (b[0] - o[0]))
+
+    def covers(p, a, b, c):                 # inside or on the border
+        return (cross(a, b, p) >= -1e-9 and cross(b, c, p) >= -1e-9
+                and cross(c, a, p) >= -1e-9)
+
+    tris = []
+    while len(idx) > 3:
+        for k in range(len(idx)):
+            i0 = idx[k - 1]
+            i1 = idx[k]
+            i2 = idx[(k + 1) % len(idx)]
+            a, b, c = poly[i0], poly[i1], poly[i2]
+            if cross(a, b, c) <= 1e-9:      # reflex or collinear corner
+                continue
+            if any(covers(poly[j], a, b, c) for j in idx
+                   if j not in (i0, i1, i2)):
+                continue
+            tris.append([i0, i1, i2])
+            idx.pop(k)
+            break
+        else:
+            raise ValueError("ear clipping failed: not a simple polygon")
+    tris.append(list(idx))
+    return tris
+
+
+def _roof_poly(rng, w, d):
+    """One planar roof over a rectilinear L/T/U/Z footprint.
+
+    The dominant motif of the real corpus that every rectangle family
+    misses: a long eave OUTLINE LOOP whose vertices are all degree 2
+    (the real 43 are 70% degree-2; the rectangle-gable families are
+    ~70-80% degree-3 rafter junctions — tools/corpus_stats.py).  One
+    slightly-graded plane covers the whole footprint, so E/V = 1.0.
+    """
+    h = rng.uniform(3, 9)
+    shape = int(rng.integers(4))
+    if shape == 0:      # L: corner notch
+        x1, y1 = rng.uniform(0.3, 0.7) * w, rng.uniform(0.3, 0.7) * d
+        poly = [(0, 0), (w, 0), (w, y1), (x1, y1), (x1, d), (0, d)]
+    elif shape == 1:    # T: bump on the top edge
+        d1 = rng.uniform(0.4, 0.7) * d
+        x1 = rng.uniform(0.15, 0.45) * w
+        x2 = rng.uniform(x1 + 0.2 * w, 0.9 * w)
+        poly = [(0, 0), (w, 0), (w, d1), (x2, d1), (x2, d), (x1, d),
+                (x1, d1), (0, d1)]
+    elif shape == 2:    # U: notch into the top edge
+        y1 = rng.uniform(0.35, 0.65) * d
+        x1, x2 = rng.uniform(0.2, 0.4) * w, rng.uniform(0.6, 0.8) * w
+        poly = [(0, 0), (w, 0), (w, d), (x2, d), (x2, y1), (x1, y1),
+                (x1, d), (0, d)]
+    else:               # Z: two offset strips
+        d1 = rng.uniform(0.35, 0.65) * d
+        x1, x2 = rng.uniform(0.1, 0.35) * w, rng.uniform(0.55, 0.9) * w
+        poly = [(0, 0), (x2, 0), (x2, d1), (w, d1), (w, d), (x1, d),
+                (x1, d1), (0, d1)]
+    poly = np.asarray(poly, float)
+    gx, gy = rng.uniform(-0.12, 0.12, 2)    # gentle planar grade
+    z = h + gx * poly[:, 0] + gy * poly[:, 1]
+    z += h - z.min()                        # keep the eave above ground
+    verts = np.column_stack([poly, z])
+    n = len(poly)
+    edges = [[i, (i + 1) % n] for i in range(n)]
+    return verts, edges, _triangulate(poly)
+
+
 _FAMILIES = (_roof_flat, _roof_shed, _roof_gable, _roof_hip, _roof_pyramid,
              _roof_tee_gable, _roof_m)
+
+# `real` mixture: family weights + 1-4 block counts tuned so the
+# generated corpus matches the real 43-roof topology profile measured
+# by tools/corpus_stats.py (deg-2 ~70%, E/V ~1.15, ~2.2 components,
+# V p90 ~30).  Vertex-weighted accounting in the module docstring.
+_REAL_MIX = ((_roof_poly, 0.68), (_roof_flat, 0.03), (_roof_shed, 0.03),
+             (_roof_gable, 0.07), (_roof_hip, 0.05), (_roof_pyramid, 0.03),
+             (_roof_tee_gable, 0.05), (_roof_m, 0.06))
+_REAL_BLOCK_P = (0.40, 0.20, 0.22, 0.18)    # 1-4 blocks, mean 2.18
+_MAX_VERTS = 38                             # real corpus spans 4-38
 
 
 def _sample_faces(rng, verts, tris, n_pts):
@@ -205,16 +309,34 @@ def _sample_faces(rng, verts, tris, n_pts):
     return np.vstack(pts)
 
 
-def make_building(rng: np.random.Generator):
-    """1-3 adjacent roof blocks -> (cloud (N,8), verts (V,3), edges (E,2))."""
-    n_blocks = rng.choice([1, 2, 3], p=[0.45, 0.4, 0.15])
+def make_building(rng: np.random.Generator, mix: str = "real"):
+    """1-4 adjacent roof blocks -> (cloud (N,8), verts (V,3), edges (E,2)).
+
+    `mix="real"` draws block counts and families from the
+    topology-matched weights above, with a 38-vertex building budget;
+    `mix="uniform"` reproduces the round-4 corpora exactly (1-3 blocks,
+    uniform over the rectangle/connected families, identical RNG
+    consumption order — do not reorder its draws).
+    """
+    if mix == "real":
+        n_blocks = 1 + int(rng.choice(4, p=_REAL_BLOCK_P))
+    else:
+        n_blocks = rng.choice([1, 2, 3], p=[0.45, 0.4, 0.15])
     all_verts, all_edges, all_pts = [], [], []
     n_pts_total = int(rng.integers(2000, 6000))
     cursor_x = 0.0
+    total_v = 0
     for bi in range(n_blocks):
         w, d = rng.uniform(6, 18), rng.uniform(6, 18)
-        fam = _FAMILIES[rng.integers(len(_FAMILIES))]
+        if mix == "real":
+            fams, weights = zip(*_REAL_MIX)
+            fam = fams[int(rng.choice(len(fams), p=np.asarray(weights)))]
+        else:
+            fam = _FAMILIES[rng.integers(len(_FAMILIES))]
         verts, edges, tris = fam(rng, w, d)
+        if total_v + len(verts) > _MAX_VERTS:
+            break                            # vertex budget (real spans 4-38)
+        total_v += len(verts)
         # Adjacent placement along +x, with a random y offset so
         # footprints form L/T-ish compounds instead of a strip.
         offs = np.array([cursor_x, rng.uniform(-0.3, 0.3) * d if bi else 0.0,
@@ -258,6 +380,10 @@ def main(argv=None) -> int:
     p.add_argument("--train", type=int, default=12)
     p.add_argument("--test", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mix", choices=("real", "uniform"), default="real",
+                   help="family/block mixture: 'real' matches the real "
+                        "corpus topology profile; 'uniform' reproduces "
+                        "the round-4 corpora")
     args = p.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -269,7 +395,7 @@ def main(argv=None) -> int:
         os.makedirs(wf_dir, exist_ok=True)
         for _ in range(count):
             scan += 1
-            cloud, verts, edges = make_building(rng)
+            cloud, verts, edges = make_building(rng, mix=args.mix)
             np.savetxt(os.path.join(xyz_dir, f"{scan}.xyz"), cloud,
                        fmt="%.6f")
             save_wireframe(verts, edges,
