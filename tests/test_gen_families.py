@@ -18,25 +18,10 @@ Pure numpy — no JAX, no device.
 import numpy as np
 import pytest
 
+from tools.corpus_stats import _n_components as _components
 from tools.gen_demo_data import (_FAMILIES, _roof_m, _roof_poly,
                                  _roof_tee_gable, _sample_faces,
                                  _triangulate, make_building)
-
-
-def _components(n_verts, edges):
-    parent = list(range(n_verts))
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    for a, b in edges:
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[ra] = rb
-    return len({find(v) for v in range(n_verts)})
 
 
 @pytest.mark.parametrize("fam", _FAMILIES + (_roof_poly,),
@@ -100,8 +85,7 @@ def test_m_roof_end_walls_tile_profile_exactly():
             wall_tris = [t for t in tris if set(t) <= wall]
             assert len(wall_tris) == 3
             # Profile polygon eave->rafter->valley->rafter->eave in x-z.
-            ids = [i for i in (0, 4, 8, 6, 1)] if y_val == 0.0 \
-                else [i for i in (3, 5, 9, 7, 2)]
+            ids = [0, 4, 8, 6, 1] if y_val == 0.0 else [3, 5, 9, 7, 2]
             poly = verts[ids][:, [0, 2]]
             tri_area = sum(_shoelace(verts[list(t)][:, [0, 2]])
                            for t in wall_tris)
@@ -169,6 +153,10 @@ def test_real_mix_matches_corpus_topology_profile():
         cloud, verts, edges = make_building(rng, mix="real")
         v = len(verts)
         assert 4 <= v <= 38
+        # The 38-vertex budget break must not thin the cloud: the drawn
+        # point total (>=2000) splits over KEPT blocks, so even
+        # truncated compounds keep a dense cloud.
+        assert len(cloud) >= 1900
         vcounts.append(v)
         ev.append(len(edges) / v)
         d = np.zeros(v, int)
@@ -181,6 +169,11 @@ def test_real_mix_matches_corpus_topology_profile():
     assert 1.05 <= np.mean(ev) <= 1.30          # real: 1.15
     assert 1.7 <= np.mean(comps) <= 2.7         # real: 2.28
     assert 10 <= np.median(vcounts) <= 24       # real: 18
+
+
+def test_make_building_rejects_unknown_mix():
+    with pytest.raises(ValueError, match="unknown mix"):
+        make_building(np.random.default_rng(0), mix="Real")
 
 
 def test_make_building_compound_invariants():

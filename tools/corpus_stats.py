@@ -59,6 +59,7 @@ def corpus_stats(root: str, split: str = "train",
     files = sorted(glob.glob(os.path.join(root, split, "wireframe", "*.obj")))
     if not files:
         raise FileNotFoundError(f"no wireframes under {root}/{split}")
+    n_total = len(files)
     if sample and sample < len(files):
         # Evenly spaced deterministic subsample (no RNG: reproducible).
         idx = np.linspace(0, len(files) - 1, sample).astype(int)
@@ -80,14 +81,18 @@ def corpus_stats(root: str, split: str = "train",
     vcounts = np.asarray(vcounts)
     comps = np.asarray(comps)
     return {
+        "n_corpus": n_total,
         "n_buildings": len(files),
         "v_p10": float(np.percentile(vcounts, 10)),
         "v_p50": float(np.percentile(vcounts, 50)),
         "v_p90": float(np.percentile(vcounts, 90)),
         "v_mean": float(vcounts.mean()),
         "edges_per_vertex": float(np.mean(ev_ratios)),
+        # Degree 0 = orphan vertices ('v' lines no 'l' references) —
+        # reported explicitly so a corpus with orphans can't silently
+        # deflate the other buckets (they also count as components).
         "deg_pct": {str(k): float(100 * (degs == k).mean())
-                    for k in (1, 2, 3)} |
+                    for k in (0, 1, 2, 3)} |
                    {"4+": float(100 * (degs >= 4).mean())},
         "deg_mean": float(degs.mean()),
         "single_component_pct": float(100 * (comps == 1).mean()),
@@ -97,11 +102,14 @@ def corpus_stats(root: str, split: str = "train",
 
 def format_row(label: str, s: dict) -> str:
     d = s["deg_pct"]
-    return (f"{label:10s} n={s['n_buildings']:5d}  "
+    n = (f"{s['n_buildings']}/{s['n_corpus']}"
+         if s["n_buildings"] != s["n_corpus"] else f"{s['n_corpus']}")
+    return (f"{label:10s} n={n:>9s}  "
             f"V p10/50/90 {s['v_p10']:.0f}/{s['v_p50']:.0f}/{s['v_p90']:.0f}  "
             f"E/V {s['edges_per_vertex']:.2f}  "
-            f"deg 1/2/3/4+ {d['1']:.0f}/{d['2']:.0f}/{d['3']:.0f}/"
-            f"{d['4+']:.0f}%  1-comp {s['single_component_pct']:.0f}%  "
+            f"deg 0/1/2/3/4+ {d['0']:.0f}/{d['1']:.0f}/{d['2']:.0f}/"
+            f"{d['3']:.0f}/{d['4+']:.0f}%  "
+            f"1-comp {s['single_component_pct']:.0f}%  "
             f"comps {s['components_mean']:.2f}")
 
 

@@ -285,6 +285,8 @@ _REAL_MIX = ((_roof_poly, 0.68), (_roof_flat, 0.03), (_roof_shed, 0.03),
              (_roof_gable, 0.07), (_roof_hip, 0.05), (_roof_pyramid, 0.03),
              (_roof_tee_gable, 0.05), (_roof_m, 0.06))
 _REAL_BLOCK_P = (0.40, 0.20, 0.22, 0.18)    # 1-4 blocks, mean 2.18
+_REAL_FAMS = tuple(f for f, _ in _REAL_MIX)
+_REAL_W = np.asarray([w for _, w in _REAL_MIX])
 _MAX_VERTS = 38                             # real corpus spans 4-38
 
 
@@ -320,17 +322,18 @@ def make_building(rng: np.random.Generator, mix: str = "real"):
     """
     if mix == "real":
         n_blocks = 1 + int(rng.choice(4, p=_REAL_BLOCK_P))
-    else:
+    elif mix == "uniform":
         n_blocks = rng.choice([1, 2, 3], p=[0.45, 0.4, 0.15])
-    all_verts, all_edges, all_pts = [], [], []
+    else:
+        raise ValueError(f"unknown mix {mix!r}: expected 'real'/'uniform'")
+    all_verts, all_edges, all_pts, kept_tris = [], [], [], []
     n_pts_total = int(rng.integers(2000, 6000))
     cursor_x = 0.0
     total_v = 0
     for bi in range(n_blocks):
         w, d = rng.uniform(6, 18), rng.uniform(6, 18)
         if mix == "real":
-            fams, weights = zip(*_REAL_MIX)
-            fam = fams[int(rng.choice(len(fams), p=np.asarray(weights)))]
+            fam = _REAL_FAMS[int(rng.choice(len(_REAL_FAMS), p=_REAL_W))]
         else:
             fam = _FAMILIES[rng.integers(len(_FAMILIES))]
         verts, edges, tris = fam(rng, w, d)
@@ -345,9 +348,23 @@ def make_building(rng: np.random.Generator, mix: str = "real"):
         base = sum(len(v) for v in all_verts)
         all_verts.append(verts)
         all_edges.append(np.asarray(edges) + base)
-        all_pts.append(_sample_faces(rng, verts, tris,
-                                     max(n_pts_total // n_blocks, 200)))
+        if mix == "uniform":
+            # Inline sampling with the PLANNED divisor: part of the
+            # frozen uniform RNG stream (byte-compatible with the
+            # round-4 corpora; the budget break can never fire at
+            # 1-3 blocks x <=12 verts).
+            all_pts.append(_sample_faces(rng, verts, tris,
+                                         max(n_pts_total // n_blocks, 200)))
+        else:
+            kept_tris.append(tris)
         cursor_x += w
+    if mix == "real":
+        # Sample after the budget is settled so the cloud splits the
+        # full drawn total over the KEPT blocks — a budget break must
+        # not thin the cloud of large buildings.
+        per_block = max(n_pts_total // len(all_verts), 200)
+        for verts, tris in zip(all_verts, kept_tris):
+            all_pts.append(_sample_faces(rng, verts, tris, per_block))
     verts = np.vstack(all_verts)
     edges = np.vstack(all_edges)
     pc = np.vstack(all_pts)
