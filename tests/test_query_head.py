@@ -441,3 +441,88 @@ def test_fused_cross_kv_applies_attention_dropout():
                            capture_intermediates=is_cross_drop)
     for v in jax.tree_util.tree_leaves(state["intermediates"]):
         np.testing.assert_allclose(np.asarray(v).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_decoder_scan_matches_unrolled_layout():
+    """model.decoder_scan rolls the layer stack into one nn.scan'ed
+    block with stacked (L, ...) params.  Same per-layer math:
+    transplanting the unrolled blocks (stacked on axis 0) into the scan
+    layout must reproduce the forward outputs exactly (f32)."""
+    import copy
+
+    cfg = small_query_cfg()
+    model, params, x = init_model(cfg)
+    base = model.apply({"params": params}, x, None, train=False)
+
+    scfg = copy.deepcopy(cfg)
+    scfg.model.decoder_scan = True
+    smodel = PointCloudToWireframe(scfg.model)
+    sparams = smodel.init({"params": jax.random.PRNGKey(1)}, x, None,
+                          train=False)["params"]
+
+    dec_b = params["vertex_decoder"]
+    dec_s = sparams["vertex_decoder"]
+    L = cfg.model.decoder_layers
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves, axis=0),
+        *[dec_b[f"block{i}"] for i in range(L)])
+    # Scan layout sanity: every leaf gained a leading layer axis.
+    ref_shapes = jax.tree_util.tree_map(jnp.shape, dec_s["blocks"]["block"])
+    got_shapes = jax.tree_util.tree_map(jnp.shape, stacked)
+    assert ref_shapes == got_shapes
+    dec_s["blocks"] = {"block": stacked}
+    for shared in dec_b:
+        if not shared.startswith("block"):
+            dec_s[shared] = dec_b[shared]
+    for top in params:
+        if top != "vertex_decoder":
+            sparams[top] = params[top]
+
+    out = smodel.apply({"params": sparams}, x, None, train=False)
+    for key in ("vertices", "existence_probabilities", "edge_probs"):
+        np.testing.assert_allclose(np.asarray(out[key]),
+                                   np.asarray(base[key]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_decoder_scan_train_step_grads_flow():
+    """The scanned decoder trains: one jitted step produces finite loss
+    and updates the stacked block params (and composes with
+    decoder_remat)."""
+    cfg = small_query_cfg()
+    cfg.model.decoder_scan = True
+    cfg.model.decoder_remat = True
+    cfg.train.batch_size = 2
+    cfg.train.device_augment = False
+    from wireframe_tpu.train.state import create_train_state
+    from wireframe_tpu.train.step import make_train_step
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0),
+                               (2, cfg.data.num_points, 8))
+    blocks = state.params["vertex_decoder"]["blocks"]["block"]
+    L = cfg.model.decoder_layers
+    assert all(a.shape[0] == L for a in jax.tree_util.tree_leaves(blocks))
+    v, e = cfg.model.max_vertices, num_pairs(cfg.model.max_vertices)
+    r = np.random.default_rng(0)
+    counts = np.array([3, 5], np.int32)
+    batch = {
+        "point_clouds": jnp.asarray(
+            r.normal(size=(2, cfg.data.num_points, 8)), jnp.float32),
+        "target_vertices": jnp.asarray(
+            r.normal(size=(2, v, 3))
+            * (np.arange(v)[None, :, None] < counts[:, None, None]),
+            jnp.float32),
+        "vertex_existence": jnp.asarray(
+            (np.arange(v)[None] < counts[:, None]).astype(np.float32)),
+        "vertex_counts": jnp.asarray(counts),
+        "edge_labels": jnp.asarray(
+            (r.random((2, e)) < 0.2).astype(np.float32)),
+    }
+    step = jax.jit(make_train_step(cfg))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    before = jax.tree_util.tree_leaves(blocks)
+    after = jax.tree_util.tree_leaves(
+        new_state.params["vertex_decoder"]["blocks"]["block"])
+    assert any(not np.allclose(np.asarray(b), np.asarray(a))
+               for b, a in zip(before, after))

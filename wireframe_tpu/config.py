@@ -105,6 +105,13 @@ class ModelConfig:
     # and parameter count, DIFFERENT param layout: checkpoints do not
     # interchange across this flag (recorded in checkpoint metadata).
     decoder_fused_cross_kv: bool = False
+    # Roll the decoder's layer stack into one lax.scan'ed block (stacked
+    # (L, ...) params) instead of `decoder_layers` unrolled subgraphs —
+    # the other dispatch-tail lever (r3 VERDICT weak #4).  Same per-layer
+    # math; DIFFERENT param layout, so checkpoints do not interchange
+    # across this flag (recorded in checkpoint metadata).  Measured at
+    # the B=64 recipe before adopting (ROADMAP).
+    decoder_scan: bool = False
     # Derived from data.z_sort_points (__post_init__): the loader already
     # z-sorted the rows, so the model skips its in-graph sort + gather.
     points_z_sorted: bool = False

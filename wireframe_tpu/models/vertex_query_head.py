@@ -99,6 +99,36 @@ class DecoderBlock(nn.Module):
         return q + h
 
 
+class _ScanBlock(nn.Module):
+    """DecoderBlock adapted to `nn.scan`'s (carry, *xs) -> (carry, ys)
+    contract: carry is the query stream, xs carry the per-layer K/V
+    slices when `fused_kv` (otherwise the shared kv is broadcast).
+
+    `deterministic` is a module field (static at trace time) rather than
+    a call argument so the scanned signature stays pure-array."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float
+    dtype: jnp.dtype
+    fused_kv: bool
+    remat_inner: bool
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, q, kv_scan, kv, kv_mask):
+        block_cls = DecoderBlock
+        if self.remat_inner:
+            block_cls = nn.remat(DecoderBlock, static_argnums=(4,))
+        blk = block_cls(
+            dim=self.dim, num_heads=self.num_heads, ffn_dim=self.ffn_dim,
+            dropout=self.dropout, dtype=self.dtype,
+            fused_kv=self.fused_kv, name="block")
+        kv_arg = kv_scan if self.fused_kv else kv
+        return blk(q, kv_arg, kv_mask, self.deterministic), None
+
+
 class QueryVertexDecoder(nn.Module):
     """max_vertices learned queries -> cross-attend to points -> per-slot
     coords + existence.
@@ -125,6 +155,13 @@ class QueryVertexDecoder(nn.Module):
     # checkpoint-compatible with the per-layer layout, so it is a config
     # flag recorded in checkpoint metadata.
     fused_cross_kv: bool = False
+    # Roll the layer stack into one `nn.scan`ed block (stacked params,
+    # axis 0 = layer) instead of `num_layers` unrolled block subgraphs —
+    # the dispatch-tail lever the r3 VERDICT asked to measure (ROADMAP
+    # #19's ~4.3k fused ops/step).  Same math per layer; DIFFERENT param
+    # layout (vertex_decoder/blocks/block/... stacked) — checkpoints do
+    # not interchange across this flag (recorded in metadata).
+    scan: bool = False
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray,
@@ -181,22 +218,43 @@ class QueryVertexDecoder(nn.Module):
                 (self.num_layers, self.num_heads, head_dim),
                 dtype=self.dtype, name="cross_v_all")(kv)
 
-        block_cls = DecoderBlock
-        if self.remat:
-            # Backward recomputes each block from its inputs instead of
-            # stashing per-layer K/V projections and (B, H, V, N)
-            # attention weights to HBM (train-step tail lever; gradients
-            # are numerically identical).  static_argnums pins
-            # `deterministic`.
-            block_cls = nn.remat(DecoderBlock, static_argnums=(4,))
-        for i in range(self.num_layers):
-            kv_arg = ((k_all[:, :, i], v_all[:, :, i])
-                      if self.fused_cross_kv else kv)
-            q = block_cls(
-                dim=self.dim, num_heads=self.num_heads,
-                ffn_dim=self.ffn_dim, dropout=self.dropout,
-                dtype=self.dtype, fused_kv=self.fused_cross_kv,
-                name=f"block{i}")(q, kv_arg, point_mask, deterministic)
+        if self.scan:
+            # (B, N, L, H, hd) -> (L, B, N, H, hd): layer axis leads for
+            # the scan; None (non-fused) has no leaves so any in_axes is
+            # fine.
+            kv_scan = None
+            if self.fused_cross_kv:
+                kv_scan = (jnp.moveaxis(k_all, 2, 0),
+                           jnp.moveaxis(v_all, 2, 0))
+            scanned = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )(dim=self.dim, num_heads=self.num_heads,
+              ffn_dim=self.ffn_dim, dropout=self.dropout,
+              dtype=self.dtype, fused_kv=self.fused_cross_kv,
+              remat_inner=self.remat, deterministic=deterministic,
+              name="blocks")
+            q, _ = scanned(q, kv_scan, kv, point_mask)
+        else:
+            block_cls = DecoderBlock
+            if self.remat:
+                # Backward recomputes each block from its inputs instead
+                # of stashing per-layer K/V projections and (B, H, V, N)
+                # attention weights to HBM (train-step tail lever;
+                # gradients are numerically identical).  static_argnums
+                # pins `deterministic`.
+                block_cls = nn.remat(DecoderBlock, static_argnums=(4,))
+            for i in range(self.num_layers):
+                kv_arg = ((k_all[:, :, i], v_all[:, :, i])
+                          if self.fused_cross_kv else kv)
+                q = block_cls(
+                    dim=self.dim, num_heads=self.num_heads,
+                    ffn_dim=self.ffn_dim, dropout=self.dropout,
+                    dtype=self.dtype, fused_kv=self.fused_cross_kv,
+                    name=f"block{i}")(q, kv_arg, point_mask, deterministic)
 
         feats = nn.LayerNorm(dtype=jnp.float32, name="out_ln")(q)
         coords = nn.Dense(3, dtype=self.dtype, name="coord_head")(feats)

@@ -112,6 +112,7 @@ class PointCloudToWireframe(nn.Module):
                 remat=cfg.decoder_remat,
                 kv_pool=cfg.decoder_kv_pool,
                 fused_cross_kv=cfg.decoder_fused_cross_kv,
+                scan=cfg.decoder_scan,
                 name="vertex_decoder",
             )(kv_feats, kv_mask,
               global_features, deterministic=not train,
