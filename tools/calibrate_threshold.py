@@ -58,6 +58,9 @@ def main(argv=None):
     p.add_argument("--vertex-metric", default="corners_f1",
                    help="vertex-sweep selection metric (default corners_f1)")
     p.add_argument("--set", action="append", default=[], dest="overrides")
+    p.add_argument("--json-out", default=None,
+                   help="write calibrated thresholds + test metrics as "
+                        "JSON (machine-readable hook for tools/seed_study)")
     args = p.parse_args(argv)
 
     import jax
@@ -121,6 +124,16 @@ def main(argv=None):
           f"{cfg.eval.vertex_existence_thresh} "
           f"eval.edge_confidence_thresh={cfg.eval.edge_confidence_thresh}` "
           "to evaluate.py to reproduce)")
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump({
+                "vertex_existence_thresh": cfg.eval.vertex_existence_thresh,
+                "edge_confidence_thresh": cfg.eval.edge_confidence_thresh,
+                "live_corner_filter": cfg.eval.live_corner_filter,
+                "test_metrics": {k: float(v) for k, v in m.items()},
+            }, f)
     return 0
 
 

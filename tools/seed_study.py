@@ -63,6 +63,54 @@ def run(cmd, log_path):
     return text, dt
 
 
+# evaluate_model key -> study short name (the decoded path reads the
+# calibrator's JSON instead of scraping evaluate.py stdout).
+_METRIC_KEYS = {
+    "average_wed": "wed", "average_corner_offset": "aco",
+    "corners_precision": "corner_p", "corners_recall": "corner_r",
+    "corners_f1": "corner_f1", "edges_precision": "edge_p",
+    "edges_recall": "edge_r", "edges_f1": "edge_f1",
+}
+
+
+def _eval_decoded(args, seed, ckdir, results_path, train_s):
+    """Decoded-corners protocol (VERDICT r4 #4): jointly calibrate the
+    vertex-existence and edge-confidence thresholds on the TRAIN split
+    with `eval.live_corner_filter=true`, then record the test metrics as
+    variant "decoded".  Reduced sweep grids keep this ~3 min/seed; the
+    r4 single-seed calibration landed at 0.3/0.3 which both grids cover.
+    """
+    json_path = os.path.join(args.out, f"{args.tag}_s{seed}_decoded.json")
+    cmd = [sys.executable, "tools/calibrate_threshold.py",
+           "--checkpoint-dir", ckdir, "--data-root", args.data_root,
+           "--param", "joint",
+           "--vertex-thresholds", "0.2,0.3,0.5,0.7",
+           "--thresholds", "0.2,0.3,0.4,0.5",
+           "--set", "eval.live_corner_filter=true",
+           "--json-out", json_path]
+    if args.config:
+        cmd += ["--config", args.config]
+    for ov in args.overrides:
+        cmd += ["--set", ov]
+    _, cal_s = run(cmd, os.path.join(
+        args.out, f"{args.tag}_s{seed}_decoded_cal.log"))
+    with open(json_path) as f:
+        cal = json.load(f)
+    m = {short: cal["test_metrics"][k]
+         for k, short in _METRIC_KEYS.items() if k in cal["test_metrics"]}
+    rec = {"tag": args.tag, "seed": seed, "variant": "decoded",
+           "train_s": round(train_s, 1), "eval_s": round(cal_s, 1),
+           "vertex_thresh": cal["vertex_existence_thresh"],
+           "edge_thresh": cal["edge_confidence_thresh"], **m}
+    with open(results_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"[seed_study] {args.tag} seed {seed} [decoded @ "
+          f"v={cal['vertex_existence_thresh']} "
+          f"e={cal['edge_confidence_thresh']}]: "
+          f"C-F1 {m.get('corner_f1'):.3f} E-F1 {m.get('edge_f1'):.3f} "
+          f"WED {m.get('wed'):.3f} ACO {m.get('aco'):.3f}", flush=True)
+
+
 def _eval_variants(args, seed, variants, results_path, train_s):
     """Evaluate checkpoint variants and append records to results.jsonl.
 
@@ -106,6 +154,11 @@ def main(argv=None):
     p.add_argument("--set", action="append", default=[], dest="overrides")
     p.add_argument("--eval-ema", action="store_true",
                    help="also evaluate the <ckdir>/ema checkpoint")
+    p.add_argument("--decoded", action="store_true",
+                   help="also record the decoded-corners protocol "
+                        "(train-split joint threshold calibration + "
+                        "live_corner_filter test eval) as variant "
+                        "'decoded'")
     p.add_argument("--keep-checkpoints", action="store_true")
     args = p.parse_args(argv)
 
@@ -142,6 +195,16 @@ def main(argv=None):
             else:
                 print(f"[seed_study] {args.tag} seed {seed}: already "
                       f"recorded")
+            if args.decoded and (args.tag, seed, "decoded") not in done:
+                if os.path.isdir(ckdir):
+                    _eval_decoded(args, seed, ckdir, results_path,
+                                  train_s=done[
+                                      (args.tag, seed, "final")]["train_s"])
+                else:
+                    print(f"[seed_study] WARNING: {args.tag} seed {seed} "
+                          f"has no decoded record and its checkpoint was "
+                          f"deleted — rerun this seed or use "
+                          f"--keep-checkpoints", flush=True)
             continue
         train_cmd = [sys.executable, "main.py", "--config", args.config,
                      "--data-root", args.data_root,
@@ -158,6 +221,15 @@ def main(argv=None):
         if args.eval_ema and os.path.isdir(os.path.join(ckdir, "ema")):
             variants.append(("ema", os.path.join(ckdir, "ema")))
         _eval_variants(args, seed, variants, results_path, train_s)
+        if args.decoded:
+            # Non-fatal: a calibration failure shouldn't kill a multi-
+            # seed study whose train+eval records are already good; the
+            # resume path re-attempts missing decoded records.
+            try:
+                _eval_decoded(args, seed, ckdir, results_path, train_s)
+            except Exception as e:  # noqa: BLE001
+                print(f"[seed_study] WARNING: decoded eval failed for "
+                      f"{args.tag} seed {seed}: {e}", flush=True)
         if not args.keep_checkpoints:
             import shutil
 
@@ -173,7 +245,7 @@ def main(argv=None):
         if not sel:
             continue
         print(f"\n== {args.tag} [{variant}] over {len(sel)} seeds ==")
-        for k in ("edge_f1", "wed", "corner_f1", "aco"):
+        for k in ("edge_f1", "wed", "corner_f1", "corner_p", "aco"):
             vals = [r[k] for r in sel if k in r]
             if len(vals) >= 2:
                 print(f"  {k}: mean {statistics.mean(vals):.4f} "
