@@ -338,30 +338,10 @@ def test_mesh_train_flagship_query_kv_pool_arch(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=8e-3)
 
 
-_HLO_SHAPE = __import__("re").compile(
-    r"\b(f32|bf16|f16|s32|u32|s64|u64|s8|u8|pred)\[([\d,]*)\]")
-_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
-                "s64": 8, "u64": 8, "s8": 1, "u8": 1, "pred": 1}
-
-
-def _collective_sizes(hlo_text: str, ops=("all-gather", "all-to-all",
-                                          "collective-permute")):
-    """[(op, dtype[shape], bytes)] for every collective in optimized HLO."""
-    out = []
-    for line in hlo_text.splitlines():
-        for op in ops:
-            if f" {op}(" not in line and f" {op}-start(" not in line:
-                continue
-            m = _HLO_SHAPE.search(line)
-            if not m:
-                continue
-            dt, dims = m.group(1), m.group(2)
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            out.append((op, f"{dt}[{dims}]", n * _DTYPE_BYTES[dt]))
-    return out
+from wireframe_tpu.parallel.hlo_audit import (  # noqa: E402
+    audit_train_step_collectives,
+    recipe_mesh_config,
+)
 
 
 @pytest.mark.slow
@@ -369,81 +349,16 @@ def test_full_recipe_shape_mesh_compile(rng):
     """r3 VERDICT weak #5: every prior mesh check ran at toy shapes, so a
     GSPMD regression that only bites at production shapes (the accidental
     (B, N, 512) activation all-gather parallel/sharded_pool.py:9-12 warns
-    about) would pass CI.  This compiles the REAL recipe shapes — B=64,
-    N=2560, V=40, decoder_dim=256, kv_pool=4 — over the dp=4 x mp=2 mesh
+    about) would pass CI.  This compiles the REAL recipe shapes -- B=64,
+    N=2560, V=40, decoder_dim=256, kv_pool=4 -- over the dp=4 x mp=2 mesh
     and asserts the optimized HLO contains no oversized data collectives.
-
-    use_pallas_encoder stays off: Pallas is shard-LOCAL compute with no
-    sharding semantics, and it does not lower on the CPU backend; the
-    XLA encoder path sees identical GSPMD partitioning.
+    The lowering + audit logic is shared with the driver artifact
+    (__graft_entry__.dryrun_multichip tier 2) via parallel/hlo_audit.py.
     """
-    from wireframe_tpu.config import Config
-    from wireframe_tpu.train.state import create_train_state
-    from wireframe_tpu.train.step import make_train_step
-
-    cfg = Config()
-    # configs/recommended.yaml at full production shapes.
-    cfg.data.num_points = 2560
-    cfg.data.max_vertices = 40
-    cfg.model.compute_dtype = "bfloat16"
-    cfg.model.vertex_head = "query"
-    cfg.model.decoder_dim = 256
-    cfg.model.decoder_layers = 4
-    cfg.model.decoder_heads = 8
-    cfg.model.decoder_ffn_dim = 1024
-    cfg.model.decoder_kv_pool = 4
-    cfg.model.slot_mask_mode = "existence"
-    cfg.model.edge_use_slot_features = True
-    cfg.train.matched_edge_labels = True
-    cfg.train.matched_existence_labels = True
-    cfg.train.ema_decay = 0.999
-    cfg.train.lr_schedule = "warmup_cosine"
-    cfg.train.matcher = "device"
-    cfg.train.batch_size = 64
-    cfg.parallel.dp = 4
-    cfg.parallel.mp = 2
-    cfg.__post_init__()
-
+    cfg = recipe_mesh_config(dp=4, mp=2)
     mesh = resolve_mesh(cfg)
     assert mesh is not None and mesh.shape == {"dp": 4, "mp": 2}
-
-    # Abstract lowering: ShapeDtypeStructs carry the shardings, so the
-    # full-size batch/params are never materialized on the CPU devices.
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    state = create_train_state(cfg, jax.random.PRNGKey(0),
-                               (1, cfg.data.num_points,
-                                cfg.model.input_dim), steps_per_epoch=5)
-    repl = NamedSharding(mesh, P())
-    state_abs = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype,
-                                       sharding=repl), state)
-    layout = batch_sharding(mesh)
-    b, n, d = 64, cfg.data.num_points, cfg.model.input_dim
-    v, e = 40, 40 * 39 // 2
-    batch_shapes = {
-        "point_clouds": ((b, n, d), np.float32),
-        "target_vertices": ((b, v, 3), np.float32),
-        "vertex_existence": ((b, v), np.float32),
-        "vertex_counts": ((b,), np.int32),
-        "edge_labels": ((b, e), np.float32),
-    }
-    batch_abs = {
-        k: jax.ShapeDtypeStruct(s, dt, sharding=layout[k])
-        for k, (s, dt) in batch_shapes.items()
-    }
-    rng_abs = jax.ShapeDtypeStruct((2,), np.uint32, sharding=repl)
-
-    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
-    compiled = step.lower(state_abs, batch_abs, rng_abs).compile()
-    hlo = compiled.as_text()
-
-    sizes = _collective_sizes(hlo)
-    # The regression under guard: a (64, 2560, 512) activation gather is
-    # 168 MB in bf16 / 336 MB in f32; even the kv-pooled (64, 640, 512)
-    # is 84 MB.  Legitimate data collectives here are the point_clouds
-    # resharding (~5 MB) and small reductions.  48 MB of headroom.
-    offenders = [s for s in sizes if s[2] > 48 * 2**20]
-    assert not offenders, (
-        "oversized data collectives in the full-shape mesh program "
-        f"(accidental activation gather?): {offenders}")
+    sizes = audit_train_step_collectives(cfg, mesh)
+    # Sanity on the audit itself: the mesh program must actually contain
+    # collectives to audit (an empty scan would vacuously pass).
+    assert sizes, "no data collectives found -- audit regex broken?"
