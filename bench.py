@@ -50,6 +50,52 @@ def _log(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+def model_flops_per_cloud(cfg, n_points: int) -> float:
+    """Analytic matmul FLOPs per cloud for the inference forward —
+    a LOWER bound (elementwise ops, LayerNorms, pooling and softmax
+    excluded; 1 MAC = 2 FLOPs).  Used for the MFU estimate so the "% of
+    bf16 peak" claims are one auditable number (r4 VERDICT #3).
+
+    Counted: per-point encoder MLP + fusion MLP (models/encoder.py),
+    the query decoder's KV projection, per-layer self/cross attention
+    and FFN (models/vertex_query_head.py), and the edge head's PairDense
+    + pair MLP (models/edge_head.py).
+    """
+    m = cfg.model
+    dims = [m.input_dim, *m.encoder_hidden_dims, m.encoder_output_dim]
+    enc = 2 * n_points * sum(a * b for a, b in zip(dims, dims[1:]))
+    c = m.encoder_output_dim
+    fusion = 2 * ((2 * c) * (4 * c) + (4 * c) * (2 * c) + (2 * c) * c)
+    v = m.max_vertices
+    e = v * (v - 1) // 2
+    if m.vertex_head == "query":
+        d, ffn, nl = m.decoder_dim, m.decoder_ffn_dim, m.decoder_layers
+        nk = -(-n_points // max(1, m.decoder_kv_pool))
+        dec = 2 * nk * c * d                       # shared KV projection
+        per_layer = (
+            4 * 2 * v * d * d                      # self-attn qkv + out
+            + 2 * v * d * d + 2 * 2 * nk * d * d   # cross q + k/v projs
+            + 2 * 2 * v * nk * d                   # scores + AV
+            + 2 * 2 * v * d * ffn                  # FFN in + out
+        )
+        dec += nl * per_layer
+        head = 2 * v * (d * 3 + d * 1)             # coord + existence
+    else:
+        h = 4096
+        dec = 2 * (c * h + h * 2048 + 2048 * 1024 + 1024 * v * 4)
+        head = 0
+    eh = m.edge_hidden_dim
+    edge = (2 * v * (3 + 256) * eh                 # embed + PairDense l1
+            + 4 * 2 * v * eh * eh                  # slot self-attn
+            + 2 * e * (eh * 256 + 256 * 128 + 128))  # pair MLP
+    return float(enc + fusion + dec + head + edge)
+
+
+# Peak dense bf16 matmul throughput of one v5e chip (public spec:
+# 197 TFLOP/s bf16).  MFU = analytic model FLOPs / time / peak.
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
 def main() -> int:
     from wireframe_tpu.utils.platform import (
         enable_compile_cache,
@@ -217,6 +263,10 @@ def main() -> int:
         # Mean batch wall-time over the chained throughput loop — NOT a
         # percentile (ADVICE r1: the old name "p50_latency_ms" lied).
         "mean_batch_ms": round(dt / iters * 1000, 3),
+        # Model-FLOP utilization: analytic matmul FLOPs (lower bound) /
+        # wall time / one-chip bf16 peak (197 TFLOP/s, v5e spec).
+        "mfu": round(model_flops_per_cloud(cfg, points) * batch * iters
+                     / dt / V5E_BF16_PEAK_FLOPS, 4),
     }
 
     if not bench_train:
@@ -282,6 +332,59 @@ def main() -> int:
                     "round_trip_clouds_per_sec": round(
                         sb["items_per_sec"], 1),
                 }
+
+        sweep_env = os.environ.get("BENCH_SWEEP", "")
+        if sweep_env:
+            # PIPELINED throughput across the 2k-10k point range (r4
+            # VERDICT #3: the round-trip bucket grid above is ~99%
+            # tunnel readback, so only the chained-barrier protocol is
+            # a throughput measurement).  Fixed batch (BENCH_SWEEP_BATCH,
+            # default BENCH_BATCH) per point count — the north star is
+            # clouds/sec at 2k-10k pts/cloud, not constant point budget.
+            sweep_batch = int(os.environ.get("BENCH_SWEEP_BATCH",
+                                             str(batch)))
+            result["sweep"] = {}
+            for n_pts in (int(t) for t in sweep_env.split(",")):
+                scfg = build_cfg(cfg_path)
+                scfg.data.num_points = n_pts
+                scfg.__post_init__()
+                sf = jax.jit(make_forward_fn(scfg, train=False))
+                try:
+                    sx = [jax.device_put(jnp.asarray(
+                        r.normal(size=(sweep_batch, n_pts,
+                                       scfg.model.input_dim))
+                        .astype(np.float32))) for _ in range(4)]
+
+                    def schained(n_iters):
+                        s = jnp.zeros((), jnp.float32)
+                        for i in range(n_iters):
+                            o = sf(state.params, sx[i % len(sx)], None)
+                            s = (s + o["vertices"].mean()
+                                 + o["edge_probs"].mean())
+                        return float(s)
+
+                    _log(f"sweep {n_pts} pts x B={sweep_batch}: "
+                         f"compile+warmup")
+                    schained(warmup)
+                    t0 = time.perf_counter()
+                    schained(iters)
+                    sdt = time.perf_counter() - t0
+                except Exception as exc:  # pragma: no cover - sweep guard
+                    _log(f"sweep {n_pts} FAILED: {exc}")
+                    result["sweep"][str(n_pts)] = {"error": str(exc)[:200]}
+                    continue
+                scps = sweep_batch * iters / sdt
+                result["sweep"][str(n_pts)] = {
+                    "batch": sweep_batch,
+                    "clouds_per_sec": round(scps, 1),
+                    "mean_batch_ms": round(sdt / iters * 1000, 2),
+                    "mfu": round(
+                        model_flops_per_cloud(scfg, n_pts) * scps
+                        / V5E_BF16_PEAK_FLOPS, 4),
+                    "vs_baseline": round(scps / baseline_per_chip, 3),
+                }
+                _log(f"sweep {n_pts}: {scps:.1f} clouds/s "
+                     f"mfu {result['sweep'][str(n_pts)]['mfu']:.3f}")
 
     print(json.dumps(result))
     return 0
