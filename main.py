@@ -95,10 +95,27 @@ def main(argv=None):
     train_ds = Building3DDataset(cfg.data, "train")
     print(f"Training samples: {len(train_ds)}")
 
-    loader = BatchLoader(
-        train_ds, cfg.train.batch_size, cfg.model.max_vertices,
-        shuffle=True, drop_last=True, seed=cfg.train.seed,
-        augment_on_host=not cfg.train.device_augment)
+    if cfg.train.cotrain_root:
+        import dataclasses
+
+        from wireframe_tpu.data import MixedBatchLoader
+
+        aux_ds = Building3DDataset(
+            dataclasses.replace(cfg.data, root_dir=cfg.train.cotrain_root),
+            "train")
+        print(f"Co-training: {cfg.train.cotrain_count}/"
+              f"{cfg.train.batch_size} samples per batch from "
+              f"{len(aux_ds)} auxiliary samples at {cfg.train.cotrain_root}")
+        loader = MixedBatchLoader(
+            train_ds, aux_ds, cfg.train.cotrain_count,
+            cfg.train.batch_size, cfg.model.max_vertices,
+            shuffle=True, drop_last=True, seed=cfg.train.seed,
+            augment_on_host=not cfg.train.device_augment)
+    else:
+        loader = BatchLoader(
+            train_ds, cfg.train.batch_size, cfg.model.max_vertices,
+            shuffle=True, drop_last=True, seed=cfg.train.seed,
+            augment_on_host=not cfg.train.device_augment)
 
     run = maybe_wandb(config={
         "learning_rate": cfg.train.learning_rate,

@@ -164,3 +164,57 @@ def test_augment_extended_levers(rng):
     norms = (np.linalg.norm(np.asarray(pc_s)[..., :3], axis=-1).sum(1)
              / np.linalg.norm(pc[..., :3], axis=-1).sum(1))
     assert np.abs(norms - 1.0).max() > 1e-3
+
+
+def test_mixed_loader_cotrain(corpus, tmp_path, rng):
+    """MixedBatchLoader (train.cotrain_*): every batch = primary samples
+    plus aux_per_batch i.i.d. draws from the auxiliary corpus; epochs
+    span the primary corpus; deterministic per (seed, epoch)."""
+    from wireframe_tpu.data.loader import MixedBatchLoader
+
+    # Auxiliary corpus with a provenance marker: constant intensity
+    # column (stable under sampling/sorting), so the aux rows of each
+    # collated batch are identifiable.
+    aux_root = tmp_path / "aux"
+    (aux_root / "train" / "xyz").mkdir(parents=True)
+    (aux_root / "train" / "wireframe").mkdir(parents=True)
+    for i in range(3):
+        pc, verts, edges = make_synthetic_sample(rng, n_points=280,
+                                                 n_verts=6)
+        pc[:, 7] = 12345.0
+        np.savetxt(str(aux_root / "train" / "xyz" / f"{i}.xyz"), pc)
+        save_wireframe(verts, edges,
+                       str(aux_root / "train" / "wireframe" / f"{i}.obj"))
+
+    primary = Building3DDataset(make_cfg(corpus), "train")
+    aux = Building3DDataset(make_cfg(str(aux_root)), "train")
+
+    def build():
+        return MixedBatchLoader(primary, aux, 1, 3, 16, shuffle=True,
+                                drop_last=True, seed=5,
+                                augment_on_host=True)
+
+    ml = build()
+    assert len(ml) == 3  # 6 primary // (3 - 1) per batch
+    batches = list(ml)
+    assert len(batches) == 3
+    marker = 12345.0 / 65536.0  # scale_intensity divides by 2^16
+    for b in batches:
+        assert b["point_clouds"].shape == (3, 256, 8)
+        # Last slot is the aux draw; first two are primary.
+        np.testing.assert_allclose(b["point_clouds"][2, :, 7], marker,
+                                   rtol=1e-6)
+        assert not np.allclose(b["point_clouds"][0, :, 7], marker)
+        assert not np.allclose(b["point_clouds"][1, :, 7], marker)
+
+    # Determinism: a fresh loader with the same seed replays exactly.
+    for x, y in zip(batches, build()):
+        np.testing.assert_array_equal(x["point_clouds"],
+                                      y["point_clouds"])
+        np.testing.assert_array_equal(x["edge_labels"], y["edge_labels"])
+
+    # Validation errors.
+    with pytest.raises(ValueError):
+        MixedBatchLoader(primary, aux, 3, 3, 16)
+    with pytest.raises(ValueError):
+        MixedBatchLoader(primary, aux, 0, 3, 16)

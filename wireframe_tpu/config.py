@@ -209,6 +209,17 @@ class TrainConfig:
     # real-finetune lever (QUALITY.md round-4 study); architecture must
     # match the checkpoint's.
     init_from: str = ""
+    # Mixed co-training: draw `cotrain_count` samples of every batch
+    # i.i.d. from a second corpus at `cotrain_root` (same
+    # <root>/{train,test}/{xyz,wireframe} layout — e.g. a
+    # tools/gen_demo_data.py synthetic corpus), the rest from the
+    # primary corpus.  The alternative topology lever to
+    # pretrain->finetune (which moved geometry but not E-F1,
+    # QUALITY.md round 4): synthetic wireframe topology enters every
+    # gradient instead of being forgotten during finetuning.  An
+    # "epoch" remains one pass over the primary corpus.
+    cotrain_root: str = ""
+    cotrain_count: int = 0
     # Device-side augmentation inside the jitted step (TPU-first replacement
     # for the host numpy augment at building3d.py:131-146).
     device_augment: bool = True

@@ -3,4 +3,7 @@ from wireframe_tpu.data.building3d import (  # noqa: F401
     build_dataset,
     collate_fixed,
 )
-from wireframe_tpu.data.loader import BatchLoader  # noqa: F401
+from wireframe_tpu.data.loader import (  # noqa: F401
+    BatchLoader,
+    MixedBatchLoader,
+)

@@ -67,9 +67,10 @@ class BatchLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        bs = self._primary_per_batch()
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // bs
+        return (n + bs - 1) // bs
 
     def _epoch_rng(self, epoch: int) -> np.random.Generator:
         return np.random.default_rng(
@@ -83,17 +84,27 @@ class BatchLoader:
         ]
         return collate_fixed(samples, self.max_vertices)
 
+    def _primary_per_batch(self) -> int:
+        """Primary-dataset samples per batch (subclasses may reserve
+        slots for an auxiliary corpus)."""
+        return self.batch_size
+
+    def _epoch_batches(self, rng) -> list:
+        """The epoch's shuffled primary-index batches."""
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(indices)
+        bs = self._primary_per_batch()
+        batches = [indices[k:k + bs] for k in range(0, len(indices), bs)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == bs]
+        return batches
+
     def __iter__(self) -> Iterator[dict]:
         epoch = self.epoch
         self.epoch += 1
         rng = self._epoch_rng(epoch)
-        indices = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng.shuffle(indices)
-        bs = self.batch_size
-        batches = [indices[k:k + bs] for k in range(0, len(indices), bs)]
-        if self.drop_last:
-            batches = [b for b in batches if len(b) == bs]
+        batches = self._epoch_batches(rng)
 
         if self.prefetch <= 0:
             for bi in batches:
@@ -120,3 +131,48 @@ class BatchLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+
+class MixedBatchLoader(BatchLoader):
+    """Mixed co-training loader (`train.cotrain_root` / `cotrain_count`):
+    every batch holds (batch_size - aux_per_batch) primary samples and
+    aux_per_batch samples drawn i.i.d. from an auxiliary corpus.
+
+    An epoch is one shuffled pass over the PRIMARY dataset (so
+    `num_epochs` keeps meaning real-data passes and the LR schedule's
+    step count scales with the primary corpus only); auxiliary draws
+    come from the same (seed, epoch)-derived RNG, so runs are
+    deterministic and resumable exactly like the plain loader.  Both
+    corpora are padded to the same fixed shapes by `collate_fixed`, so
+    the jitted train step sees one program regardless of the mix.
+    """
+
+    def __init__(self, dataset: Building3DDataset,
+                 aux_dataset: Building3DDataset, aux_per_batch: int,
+                 batch_size: int, max_vertices: int, **kwargs):
+        if not 0 < aux_per_batch < batch_size:
+            raise ValueError(
+                f"aux_per_batch must be in (0, batch_size): "
+                f"{aux_per_batch} vs batch_size={batch_size}")
+        if len(aux_dataset) == 0:
+            raise ValueError("auxiliary dataset is empty")
+        super().__init__(dataset, batch_size, max_vertices, **kwargs)
+        self.aux_dataset = aux_dataset
+        self.aux_per_batch = aux_per_batch
+
+    def _primary_per_batch(self) -> int:
+        return self.batch_size - self.aux_per_batch
+
+    def _make_batch(self, indices, rng) -> dict:
+        aux_indices = rng.integers(0, len(self.aux_dataset),
+                                   size=self.aux_per_batch)
+        samples = [
+            self.dataset.get_sample(
+                int(i), rng=rng, augment_on_host=self.augment_on_host)
+            for i in indices
+        ] + [
+            self.aux_dataset.get_sample(
+                int(j), rng=rng, augment_on_host=self.augment_on_host)
+            for j in aux_indices
+        ]
+        return collate_fixed(samples, self.max_vertices)
