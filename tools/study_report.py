@@ -34,6 +34,7 @@ METRICS = (
     ("edge_f1", "E-F1", True),
     ("wed", "WED", False),
     ("corner_f1", "C-F1", True),
+    ("corner_p", "C-P", True),
     ("aco", "ACO", False),
 )
 
