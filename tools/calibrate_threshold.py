@@ -63,17 +63,14 @@ def main(argv=None):
                         "JSON (machine-readable hook for tools/seed_study)")
     args = p.parse_args(argv)
 
-    import jax
-
     from main import resolve_data_root
     from wireframe_tpu.config import load_config
     from wireframe_tpu.data import Building3DDataset
-    from wireframe_tpu.eval import evaluate_model
+    from wireframe_tpu.eval.pipeline import evaluate_corpus_pipelined
     from wireframe_tpu.train.checkpoint import (
         apply_checkpoint_model_config,
         load_checkpoint,
     )
-    from wireframe_tpu.train.step import make_forward_fn
 
     cfg = load_config(args.config, args.overrides)
     cfg.data.root_dir = resolve_data_root(args.data_root)
@@ -82,7 +79,19 @@ def main(argv=None):
 
     train_ds = Building3DDataset(cfg.data, "train")
     test_ds = Building3DDataset(cfg.data, "test")
-    forward = jax.jit(make_forward_fn(cfg, train=False))
+
+    # Every eval rides the fused fixed-shape pipeline (bit-identical to
+    # the plain evaluator by the eval/pipeline.py contract + tests;
+    # overflowing samples fall back to the exact legacy helpers).  The
+    # plain path is ~15-20 s/sample over the tunnel, which made a 43-
+    # sample sweep point cost minutes; the pipeline streams the split in
+    # seconds.  Thresholds are compile-time constants of the eval_step,
+    # so each sweep value compiles its own program — cached persistently
+    # (utils.platform.enable_compile_cache in load path), so repeated
+    # calibrations (e.g. across a seed study) pay compiles only once.
+    def run_eval(dataset):
+        return evaluate_corpus_pipelined(cfg, payload["params"], dataset,
+                                         batch=8, qmax=128, emax=64)
 
     def sweep(key, values, select_metric):
         """Sweep cfg.eval.<key> over values on the train split."""
@@ -92,9 +101,8 @@ def main(argv=None):
         best_t, best_val = None, -1.0
         for t in values:
             setattr(cfg.eval, key, t)
-            m = evaluate_model(cfg, payload["params"], train_ds,
-                               forward_fn=forward, verbose=False)
-            print(_row(t, m))
+            m = run_eval(train_ds)
+            print(_row(t, m), flush=True)
             if m[select_metric] > best_val:
                 best_t, best_val = t, m[select_metric]
         setattr(cfg.eval, key, best_t)
@@ -117,8 +125,9 @@ def main(argv=None):
     print(f"\nTest split at calibrated thresholds "
           f"(vertex={cfg.eval.vertex_existence_thresh}, "
           f"edge={cfg.eval.edge_confidence_thresh}):")
-    m = evaluate_model(cfg, payload["params"], test_ds,
-                       forward_fn=forward, verbose=True)
+    m = run_eval(test_ds)
+    print(HEADER)
+    print(_row(cfg.eval.edge_confidence_thresh, m))
     print(f"\n(reference hard-codes 0.5/0.5 — pass "
           f"`--set eval.vertex_existence_thresh="
           f"{cfg.eval.vertex_existence_thresh} "
