@@ -122,9 +122,13 @@ def _eval_variants(args, seed, variants, results_path, train_s):
     nominally studied.
     """
     for variant, vdir in variants:
+        # Pipelined eval: bit-identical metrics by the eval/pipeline.py
+        # contract, ~15-20 s/sample -> seconds for the 8-sample split
+        # (the plain evaluator cost ~5-8 min per eval over the tunnel).
         eval_cmd = [sys.executable, "evaluate.py", "--config",
                     args.config, "--data-root", args.data_root,
-                    "--checkpoint-dir", vdir]
+                    "--checkpoint-dir", vdir,
+                    "--pipelined", "--eval-batch", "8"]
         for ov in args.overrides:
             eval_cmd += ["--set", ov]
         text, eval_s = run(eval_cmd, os.path.join(
